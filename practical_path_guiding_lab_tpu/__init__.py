@@ -1,0 +1,24 @@
+"""TPU-native practical path guiding framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of
+``takkasila/practical_path_guiding_lab`` (Mitsuba 3 + Dr.Jit, CUDA):
+a guided unidirectional wavefront path tracer with an adaptive SD-tree
+(spatial binary tree whose leaves own directional quadtrees), trained with
+geometrically doubling sample budgets, per Mueller, Gross, Novak,
+"Practical Path Guiding for Efficient Light-Transport Simulation" (2017).
+
+Architecture (TPU-first, not a translation):
+  core/      counter-based RNG, sphere<->canonical mapping, SoA pytree records
+  io/        EXR (incl. native PIZ decode), Radiance HDR, PNG, OBJ, .serialized
+  scene/     Mitsuba-XML parser -> frozen SceneArrays (device)
+  bsdf/      vectorized branchless BSDF families with lobe flags
+  accel/     host BVH/cluster builder + jnp & Pallas wavefront traversal
+  guiding/   fixed-capacity SD-tree arrays: splat (segment-sum), refine, sample/pdf
+  render/    wavefront integrators (unguided NEE PT + guided), film, variance
+  parallel/  shard_map pixel-tile sharding, psum film/tree reductions
+  drivers/   training / baseline / repeat drivers (reference main.py semantics)
+  analysis/  performance CSV plots + SD-tree heat maps
+  utils/     file naming, perf CSV records, console
+"""
+
+__version__ = "0.1.0"
