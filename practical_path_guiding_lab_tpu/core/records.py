@@ -35,6 +35,8 @@ class Intersection:
     material: jnp.ndarray   # (...,) int32 material index
     emitter: jnp.ndarray    # (...,) int32 emitter index (-1 if none)
     wi_world: jnp.ndarray   # (..., 3) direction toward the origin of the ray
+    entering: jnp.ndarray   # (...,) bool — original geometric normal faced the ray
+                            # (false = hit from inside; drives dielectric IOR)
 
 
 @struct.dataclass

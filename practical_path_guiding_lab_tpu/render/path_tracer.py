@@ -1,0 +1,156 @@
+"""Unguided NEE path tracer with MIS — the baseline integrator.
+
+Capability parity with the reference's ``path_tracing_integrator_py``
+(path_tracing_integrator_py.py:49-228): per-bounce loop of intersect ->
+emission MIS -> NEE with MIS -> BSDF sampling -> Russian roulette from
+``rr_depth`` at p <= 0.95 with eta^2 correction. TPU-first: a
+``lax.while_loop`` over the bounce axis carrying an SoA wavefront, one lane
+per pixel sample; all control flow is masks.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .. import bsdf as bsdf_mod
+from ..accel.traverse import intersect, occluded
+from ..core import rng
+from ..core.math import dot, mis_power_heuristic, nan_to_zero
+from ..scene import emitters as em_mod
+from ..scene.camera import generate_rays
+
+
+def render_wavefront(scene, key, n_rays, px, py):
+    """Trace one wavefront of camera samples; returns radiance (N,3).
+
+    px, py: continuous film coordinates in pixels.
+    """
+    sx = px / scene.camera.width
+    sy = py / scene.camera.height
+    ray = generate_rays(scene.camera, sx, sy)
+
+    state = {
+        "o": ray.o,
+        "d": ray.d,
+        "throughput": jnp.ones((n_rays, 3)),
+        "L": jnp.zeros((n_rays, 3)),
+        "eta_scale": jnp.ones(n_rays),
+        "active": jnp.ones(n_rays, bool),
+        "prev_pdf": jnp.full((n_rays,), 1.0),
+        "prev_delta": jnp.ones(n_rays, bool),  # treat depth-0 emission as unweighted
+        "depth": jnp.int32(0),
+    }
+
+    def cond(s):
+        return (s["depth"] < scene.max_depth) & jnp.any(s["active"])
+
+    def body(s):
+        s = dict(s)
+        depth = s["depth"]
+        k = rng.stream(key, depth, 0)
+
+        si = intersect(scene, s["o"], s["d"])
+        active = s["active"]
+        esc = active & ~si.valid
+        hit = active & si.valid
+
+        L = s["L"]
+        tp = s["throughput"]
+
+        # --- emission on hit (MIS vs previous bounce pdf) ---
+        em = scene.emitters
+        Le = jnp.where(
+            (si.emitter >= 0)[:, None], em.radiance[jnp.maximum(si.emitter, 0)], 0.0
+        )
+        # one-sided: emit only toward the front side (original orientation)
+        Le = jnp.where(si.entering[:, None], Le, 0.0)
+        pdf_em_dir = em_mod.pdf_hit_dir(em, s["o"], s["d"], si.emitter, si.t, si.n)
+        w_mis = jnp.where(
+            s["prev_delta"], 1.0, mis_power_heuristic(s["prev_pdf"], pdf_em_dir)
+        )
+        L = L + jnp.where(hit[:, None], tp * Le * w_mis[:, None], 0.0)
+
+        # --- escaped rays: envmap / constant emitters ---
+        if em.has_envmap:
+            env_L = em_mod.env_eval(em, s["d"])
+            pdf_env = em_mod.pdf_env_dir(em, s["d"])
+            w_env = jnp.where(
+                s["prev_delta"], 1.0, mis_power_heuristic(s["prev_pdf"], pdf_env)
+            )
+            L = L + jnp.where(esc[:, None], tp * env_L * w_env[:, None], 0.0)
+
+        # --- NEE ---
+        ctx = bsdf_mod.make_context(scene, si)
+        k_sel = rng.stream(key, depth, rng.PurposeId.NEE_SELECT)
+        k_pos = rng.stream(key, depth, rng.PurposeId.NEE_POS)
+        u_sel = rng.uniform(k_sel, (n_rays,))
+        u1, u2 = rng.uniform2(k_pos, (n_rays,))
+        nee = em_mod.sample_nee(em, scene.tris, si.p, u_sel, u1, u2)
+        f_nee, pdf_bsdf_nee = bsdf_mod.eval_pdf(ctx, si.wi_world, nee["wo"])
+        nee_ok = hit & nee["valid"] & (nee["pdf"] > 0)
+        nee_ok = nee_ok & (dot(nee["wo"], si.n) > 0)  # same hemisphere as geo normal
+        shadowed = occluded(scene, si.p + si.n * 1e-4, nee["wo"], nee["dist"])
+        nee_ok = nee_ok & ~shadowed
+        w_nee = jnp.where(
+            nee["is_delta"], 1.0, mis_power_heuristic(nee["pdf"], pdf_bsdf_nee)
+        )
+        contrib = tp * f_nee * nee["Li"] * (w_nee / jnp.maximum(nee["pdf"], 1e-20))[:, None]
+        L = L + jnp.where(nee_ok[:, None], nan_to_zero(contrib), 0.0)
+
+        # --- BSDF sampling ---
+        k_b = rng.stream(key, depth, rng.PurposeId.BSDF_SAMPLE)
+        ub = rng.uniform(k_b, (n_rays, 3))
+        bs = bsdf_mod.sample(ctx, si.wi_world, ub[:, 0], ub[:, 1], ub[:, 2])
+        tp_new = tp * bs["weight"]
+        alive = hit & bs["valid"] & (jnp.max(tp_new, axis=-1) > 0)
+
+        # --- Russian roulette (reference: depth >= rr_depth, p <= 0.95,
+        #     eta^2 correction; path_guiding_integrator.py:367-381) ---
+        eta_scale = s["eta_scale"] * bs["eta"] ** 2
+        k_rr = rng.stream(key, depth, rng.PurposeId.RR)
+        u_rr = rng.uniform(k_rr, (n_rays,))
+        q = jnp.minimum(jnp.max(tp_new, axis=-1) * eta_scale, 0.95)
+        do_rr = depth >= scene.rr_depth  # scalar (loop counter)
+        survive = jnp.where(do_rr, u_rr < q, jnp.ones(n_rays, bool))
+        tp_new = jnp.where(do_rr, tp_new / jnp.maximum(q, 1e-6)[:, None], tp_new)
+        alive = alive & survive
+
+        s["o"] = jnp.where(alive[:, None], si.p + bs["wo"] * 1e-4, s["o"])
+        s["d"] = jnp.where(alive[:, None], bs["wo"], s["d"])
+        s["throughput"] = jnp.where(alive[:, None], tp_new, tp)
+        s["L"] = L
+        s["eta_scale"] = jnp.where(alive, eta_scale, s["eta_scale"])
+        s["active"] = alive
+        s["prev_pdf"] = jnp.where(alive, bs["pdf"], s["prev_pdf"])
+        s["prev_delta"] = jnp.where(alive, bs["delta"], s["prev_delta"])
+        s["depth"] = depth + 1
+        return s
+
+    final = jax.lax.while_loop(cond, body, state)
+    return nan_to_zero(final["L"])
+
+
+def render_pass(scene, seed0, pass_index, jitter=True):
+    """Render one 1-spp pass over the full film; returns per-sample
+    radiance (H*W, 3) plus film coordinates (reference renders training
+    iterations 1 spp per pass, main.py:192)."""
+    key = rng.pass_key(seed0, pass_index)
+    w, h = scene.camera.width, scene.camera.height
+    n = w * h
+    yy, xx = jnp.meshgrid(
+        jnp.arange(h, dtype=jnp.float32),
+        jnp.arange(w, dtype=jnp.float32),
+        indexing="ij",
+    )
+    px = xx.reshape(-1)
+    py = yy.reshape(-1)
+    if jitter:
+        k = rng.stream(key, 0, rng.PurposeId.CAMERA)
+        u1, u2 = rng.uniform2(k, (n,))
+        px = px + u1
+        py = py + u2
+    else:
+        px = px + 0.5
+        py = py + 0.5
+    L = render_wavefront(scene, key, n, px, py)
+    return L, px, py

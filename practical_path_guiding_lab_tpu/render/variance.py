@@ -1,0 +1,54 @@
+"""Variance / MSE metrics with the reference's exact semantics
+(path_guiding_integrator.py:503-550): luminance-based, outliers clamped at
+1e4, sample variance /(spp-1) against self, population /spp against GT.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.math import luminance
+
+CLAMP = 1e4
+
+
+@jax.jit
+def accumulate_moments(sum_l, sum_l2, L, px, py, width):
+    """Add per-sample radiance into per-pixel sumL / sumL2 buffers
+    ((H*W, 3) each, pixel-major like the reference layout)."""
+    idx = (py.astype(jnp.int32) * width + px.astype(jnp.int32)).astype(jnp.int32)
+    sum_l = sum_l.at[idx].add(L)
+    sum_l2 = sum_l2.at[idx].add(L * L)
+    return sum_l, sum_l2
+
+
+@jax.jit
+def compute_mse(sum_l, spp, gt):
+    """Luminance MSE of the mean image vs ground truth, clamped at 1e4
+    (reference computeMSE, path_guiding_integrator.py:503-517)."""
+    mean = sum_l / spp
+    diff2 = (luminance(mean) - luminance(gt)) ** 2
+    return jnp.mean(jnp.minimum(diff2, CLAMP))
+
+
+@jax.jit
+def compute_variance_self(sum_l, sum_l2, spp):
+    """Sample variance of the per-pixel mean estimator:
+    (E[L^2] - E[L]^2) / (spp - 1), luminance, clamped
+    (reference computeVariance, path_guiding_integrator.py:520-538)."""
+    mean = luminance(sum_l) / spp
+    mean2 = luminance(sum_l2) / spp
+    var = (mean2 - mean * mean) / jnp.maximum(spp - 1.0, 1.0)
+    var = jnp.minimum(jnp.maximum(var, 0.0), CLAMP)
+    return jnp.mean(var)
+
+
+@jax.jit
+def compute_variance_gt(sum_l, sum_l2, spp, gt):
+    """Population variance against ground truth: (E[L^2] - GT^2)/spp
+    (reference path_guiding_integrator.py:540-550)."""
+    mean2 = luminance(sum_l2) / spp
+    g = luminance(gt)
+    var = (mean2 - g * g) / spp
+    var = jnp.minimum(jnp.maximum(var, 0.0), CLAMP)
+    return jnp.mean(var)
