@@ -49,17 +49,14 @@ class PathRecords:
 
     position: jnp.ndarray            # (N, D, 3)
     canonical_dir: jnp.ndarray       # (N, D, 2) wo in canonical square
-    wo_world: jnp.ndarray            # (N, D, 3) sampled outgoing direction
-    throughput_radiance: jnp.ndarray # (N, D, 3) L accumulated *before* this vertex's
-                                     # future contributions (for reconstruction)
-    throughput_bsdf: jnp.ndarray     # (N, D, 3) path throughput *after* this bounce
-    bsdf_value: jnp.ndarray          # (N, D, 3) bsdf weight of this bounce
-    nee_radiance: jnp.ndarray        # (N, D, 3) direct light sampled at this vertex
-    nee_dir: jnp.ndarray             # (N, D, 2) canonical direction of NEE sample
+    throughput_radiance: jnp.ndarray # (N, D, 3) L at record time (:334)
+    throughput_bsdf: jnp.ndarray     # (N, D, 3) path throughput BEFORE this
+                                     # bounce's weight multiply (:332)
+    bsdf_weight: jnp.ndarray         # (N, D, 3) bsdf_value / woPdf (:330)
+    nee_radiance: jnp.ndarray        # (N, D, 3) Lr_dir / throughput (:337)
+    nee_dir: jnp.ndarray             # (N, D, 2) canonical NEE direction
     wo_pdf: jnp.ndarray              # (N, D) one-sample-MIS mixture pdf
     bsdf_pdf: jnp.ndarray            # (N, D)
-    dtree_pdf: jnp.ndarray           # (N, D)
-    statistical_weight: jnp.ndarray  # (N, D)
     is_delta: jnp.ndarray            # (N, D) bool
     active: jnp.ndarray              # (N, D) bool — row was written
 
@@ -69,9 +66,8 @@ class PathRecords:
         f = lambda *s: jnp.zeros((n, d) + s, jnp.float32)
         b = lambda: jnp.zeros((n, d), bool)
         return PathRecords(
-            position=f(3), canonical_dir=f(2), wo_world=f(3),
-            throughput_radiance=f(3), throughput_bsdf=f(3), bsdf_value=f(3),
+            position=f(3), canonical_dir=f(2),
+            throughput_radiance=f(3), throughput_bsdf=f(3), bsdf_weight=f(3),
             nee_radiance=f(3), nee_dir=f(2),
-            wo_pdf=f(), bsdf_pdf=f(), dtree_pdf=f(),
-            statistical_weight=f(), is_delta=b(), active=b(),
+            wo_pdf=f(), bsdf_pdf=f(), is_delta=b(), active=b(),
         )

@@ -1,0 +1,331 @@
+"""Guided training + rendering driver — full reference main.py semantics:
+
+* geometric budget doubling: iteration k renders 2^(k+2) spp (main.py:170)
+* 1 spp per pass while training; batching allowed in the final iteration
+  (recording off) (main.py:192-197)
+* seed = initial_seed + cumm_spp per pass (main.py:218)
+* spp-weighted in-iteration image accumulation (main.py:221-225)
+* estimated final variance = variance * image_spp / (budget - cumm_spp_prev)
+  (main.py:323-328)
+* stop-training rule: estimated variance increases after 256 cumulative spp,
+  hard stop at cumm_spp >= 1000 (main.py:334-377)
+* once training stops, the remaining budget continues rendering and the
+  final image blends up to two iterations by spp weight (main.py:267-291)
+* per-iteration outputs: PNG+EXR image, SD-tree npz, kd-leaf OBJ; CSVs of
+  variance/MSE (in-iteration and end-of-iteration) (main.py:398-429)
+"""
+from __future__ import annotations
+
+import math
+import time
+
+import numpy as np
+
+from ..io import exr as exr_io
+from ..io import image as image_io
+from ..render.integrator import PathGuidingIntegrator
+from ..scene import load_file
+from ..scene.scene import compile_scene
+from ..utils import FileNameManager, PerformanceData, print_bold_underline, print_title
+from .config import TrainConfig, scene_path
+
+
+def load_ground_truth(cfg: TrainConfig, scene):
+    p = scene_path(cfg.scene).parent / "TungstenRender.exr"
+    if not p.exists():
+        return None
+    gt = exr_io.read(p)
+    h, w = scene.camera.height, scene.camera.width
+    if gt.shape[:2] != (h, w):
+        # average-pool to the render resolution (driver may render smaller)
+        fy, fx = gt.shape[0] // h, gt.shape[1] // w
+        if fy >= 1 and fx >= 1 and gt.shape[0] % h == 0 and gt.shape[1] % w == 0:
+            gt = gt.reshape(h, fy, w, fx, 3).mean(axis=(1, 3))
+        else:
+            return None
+    return gt.astype(np.float32)
+
+
+def train(cfg: TrainConfig):
+    desc = load_file(scene_path(cfg.scene), **cfg.scene_overrides)
+    scene = compile_scene(desc)
+    gt = load_ground_truth(cfg, scene)
+
+    FileNameManager.DEBUG_ROOT = __import__("pathlib").Path(cfg.out_root)
+    FileNameManager.setSceneName(cfg.scene)
+    if cfg.save_outputs:
+        FileNameManager.createDebugFolder()
+
+    integrator = PathGuidingIntegrator(
+        scene, bsdf_sampling_fraction=cfg.bsdf_sampling_fraction
+    )
+    integrator.setup(
+        sd_tree_max_depth=cfg.sd_tree_max_depth,
+        quad_tree_max_depth=cfg.quad_tree_max_depth,
+        store_nee=cfg.store_nee,
+        bbox_eps=cfg.bbox_eps,
+        kd_capacity=cfg.kd_capacity,
+        quad_capacity=cfg.quad_capacity,
+    )
+
+    # possible cumulative spp checkpoints (main.py:105-117)
+    possible_cumm = []
+    c = 0
+    i = 0
+    while c < cfg.budget_spp:
+        c += 2 ** (i + 2)
+        possible_cumm.append(c)
+        i += 1
+
+    records = {
+        "variance_inIter": PerformanceData(),
+        "variance_groundTruth_inIter": PerformanceData(),
+        "mse_groundTruth_inIter": PerformanceData(),
+        "variance_endIter": PerformanceData(),
+        "variance_groundTruth_endIter": PerformanceData(),
+        "mse_groundTruth_endIter": PerformanceData(),
+        "variance_estimated_final": PerformanceData(),
+    }
+
+    budget_spp = cfg.budget_spp
+    remaining = budget_spp
+    cumm_spp = 0
+    cumm_spp_prev = 0
+    image_spp = 0
+    iteration = 0
+    is_final = False
+    train_tree = True
+    clear_data = True
+    variance_prev = 0.0
+    variance_current = 0.0
+    prev_iter_image = None
+    image = None
+    cumm_time = 0.0
+    total_rays = 0.0
+
+    while remaining > 0:
+        t_iter0 = time.perf_counter()
+        if clear_data:
+            integrator.resetVarianceCounter()
+            image_spp = 0
+        curr_iter_image = None
+        curr_iter_image_acc = None
+
+        if not is_final:
+            iter_spp = 2 ** (iteration + 2)
+            if iter_spp == remaining:
+                is_final = True
+        else:
+            iter_spp = remaining
+
+        integrator.setIteration(iteration, is_final)
+        print_title(f"Iteration {iteration}")
+        print(
+            f"SPP: {iter_spp}, cumm_SPP: {cumm_spp}, "
+            f"remaining: {budget_spp - cumm_spp}, isFinalIter: {is_final}"
+        )
+
+        spp_per_pass = cfg.batch_spp if is_final else 1
+        iter_pass = math.ceil(iter_spp / spp_per_pass)
+        iter_spp_count = 0
+
+        for pass_i in range(iter_pass):
+            curr_pass_spp = min(spp_per_pass, iter_spp - iter_spp_count)
+            pass_img = None
+            for sub in range(curr_pass_spp):
+                img, rays = integrator.render_pass(
+                    cfg.initial_seed, cumm_spp + sub
+                )
+                total_rays += rays
+                pass_img = img if pass_img is None else pass_img + img
+            pass_img = np.asarray(pass_img) / curr_pass_spp
+
+            w_img = pass_img * (curr_pass_spp / iter_spp)
+            curr_iter_image = (
+                w_img if curr_iter_image is None else curr_iter_image + w_img
+            )
+            if is_final:
+                curr_iter_image_acc = (
+                    pass_img
+                    if curr_iter_image_acc is None
+                    else curr_iter_image_acc + pass_img
+                )
+
+            image_spp += curr_pass_spp
+            iter_spp_count += curr_pass_spp
+            cumm_spp += curr_pass_spp
+
+            if cfg.record_in_iteration:
+                variance = integrator.computeVariance(image_spp)
+                elapse = (time.perf_counter() - t_iter0) + cumm_time
+                records["variance_inIter"].append(
+                    time=elapse, spp=image_spp, cumm_spp=cumm_spp,
+                    iteration=iteration, variance=variance,
+                )
+                if gt is not None:
+                    records["variance_groundTruth_inIter"].append(
+                        time=elapse, spp=image_spp, cumm_spp=cumm_spp,
+                        iteration=iteration,
+                        variance=integrator.computeVariance(image_spp, gt),
+                    )
+                    records["mse_groundTruth_inIter"].append(
+                        time=elapse, spp=image_spp, cumm_spp=cumm_spp,
+                        iteration=iteration,
+                        mse=integrator.computeMSE(image_spp, gt),
+                    )
+
+            if is_final and cumm_spp in possible_cumm and cfg.save_outputs:
+                # power-of-two cumulative-spp snapshots (main.py:267-278)
+                cur_cnt = cumm_spp - cumm_spp_prev
+                non_weighted = curr_iter_image_acc / (pass_i + 1)
+                blend = (
+                    non_weighted * cur_cnt
+                    + (prev_iter_image if prev_iter_image is not None else 0)
+                    * (image_spp - cur_cnt)
+                ) / image_spp
+                base = FileNameManager.generateImageFileName(iteration, image_spp)
+                image_io.write_png(f"{base}_cumm_spp-{cumm_spp}.png", blend)
+                exr_io.write(f"{base}_cumm_spp-{cumm_spp}.exr", blend)
+
+        # two-iteration blend after training stopped (main.py:287-291)
+        if is_final and not train_tree and prev_iter_image is not None:
+            image = (
+                curr_iter_image * iter_spp
+                + prev_iter_image * (image_spp - iter_spp)
+            ) / image_spp
+        else:
+            image = curr_iter_image
+
+        variance = integrator.computeVariance(image_spp)
+        variance_gt = (
+            integrator.computeVariance(image_spp, gt) if gt is not None else 0.0
+        )
+        mse_gt = integrator.computeMSE(image_spp, gt) if gt is not None else 0.0
+        elapse = (time.perf_counter() - t_iter0) + cumm_time
+
+        records["variance_endIter"].append(
+            time=elapse, spp=image_spp, cumm_spp=cumm_spp,
+            iteration=iteration, variance=variance,
+        )
+        records["variance_groundTruth_endIter"].append(
+            time=elapse, spp=image_spp, cumm_spp=cumm_spp,
+            iteration=iteration, variance=variance_gt,
+        )
+        records["mse_groundTruth_endIter"].append(
+            time=elapse, spp=image_spp, cumm_spp=cumm_spp,
+            iteration=iteration, mse=mse_gt,
+        )
+        print_bold_underline("Variance:", variance)
+        print_bold_underline("Variance wrt. Ground Truth:", variance_gt)
+        print_bold_underline("MSE wrt. Ground Truth:", mse_gt)
+
+        # estimated final variance (main.py:323-328)
+        budget_upto_prev = budget_spp - cumm_spp_prev
+        variance_current = variance * image_spp / budget_upto_prev
+        print_bold_underline("Estimated Variance Final Image:", variance_current)
+        records["variance_estimated_final"].append(
+            time=elapse, spp=image_spp, cumm_spp=cumm_spp,
+            iteration=iteration, variance=variance_current,
+        )
+
+        # next-iteration decision tree (main.py:334-377)
+        next_iter_spp = 2 ** (iteration + 3)
+        remaining = budget_spp - cumm_spp
+        if remaining > 0:
+            stop = (
+                cumm_spp > cfg.stable_variance_spp_threshold
+                and variance_current > variance_prev
+            ) or cumm_spp >= 1000
+            if next_iter_spp < remaining:
+                if stop:
+                    is_final = True
+                    train_tree = False
+                    clear_data = False
+            elif next_iter_spp == remaining:
+                is_final = True
+                if stop:
+                    train_tree = False
+                    clear_data = False
+            else:
+                is_final = True
+                train_tree = False
+                clear_data = False
+
+        if train_tree:
+            integrator.refineAndPrepareSDTreeForNextIteration()
+        elif prev_iter_image is None:
+            print_bold_underline("-- Stop training SDTree --")
+
+        prev_iter_image = image
+        cumm_time += time.perf_counter() - t_iter0
+
+        if cfg.save_outputs:
+            base = FileNameManager.generateImageFileName(iteration, image_spp)
+            image_io.write_png(f"{base}_cumm_spp-{cumm_spp}.png", image)
+            exr_io.write(f"{base}_cumm_spp-{cumm_spp}.exr", image)
+            integrator.saveSDTreeToFile(
+                FileNameManager.generateTreeDataFileName(iteration)
+            )
+            integrator.saveSDTreeOBJ(
+                FileNameManager.generateOBJFileName(iteration)
+            )
+
+        variance_prev = variance_current
+        iteration += 1
+        cumm_spp_prev = cumm_spp
+
+    if cfg.save_outputs:
+        perf = FileNameManager.PERFORMANCE_FOLDER_PATH
+        if cfg.record_in_iteration:
+            records["variance_inIter"].saveToFile(perf + "variance_inIter.csv")
+            records["variance_groundTruth_inIter"].saveToFile(
+                perf + "variance_groundTruth_inIter.csv"
+            )
+            records["mse_groundTruth_inIter"].saveToFile(
+                perf + "mse_groundTruth_inIter.csv"
+            )
+        records["variance_endIter"].saveToFile(perf + "variance_endIter.csv")
+        records["variance_groundTruth_endIter"].saveToFile(
+            perf + "variance_groundTruth_endIter.csv"
+        )
+        records["mse_groundTruth_endIter"].saveToFile(
+            perf + "mse_groundTruth_endIter.csv"
+        )
+        records["variance_estimated_final"].saveToFile(
+            perf + "variance_estimated_final.csv"
+        )
+
+    return {
+        "image": image,
+        "records": records,
+        "integrator": integrator,
+        "cumm_spp": cumm_spp,
+        "time": cumm_time,
+        "total_rays": total_rays,
+        "mse": mse_gt,
+        "variance": variance,
+    }
+
+
+if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scene", default="cornell-box")
+    ap.add_argument("--budget", type=int, default=252)
+    ap.add_argument("--resx", type=int, default=None)
+    ap.add_argument("--resy", type=int, default=None)
+    args = ap.parse_args()
+    overrides = {}
+    if args.resx:
+        overrides["resx"] = args.resx
+    if args.resy:
+        overrides["resy"] = args.resy
+    out = train(
+        TrainConfig(scene=args.scene, budget_spp=args.budget, scene_overrides=overrides)
+    )
+    print_bold_underline(
+        f"done: {out['cumm_spp']} spp, {out['time']:.1f}s, "
+        f"{out['total_rays'] / max(out['time'], 1e-9) / 1e6:.2f} Mrays/s, "
+        f"MSE {out['mse']:.6f}"
+    )

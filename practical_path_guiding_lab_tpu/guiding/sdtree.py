@@ -1,0 +1,685 @@
+"""The adaptive SD-tree (Mueller et al. 2017): a spatial binary tree whose
+leaves own directional quadtrees over the cylindrical-equal-area square.
+
+TPU-first split of responsibilities (vs the reference's all-device dynamic
+arrays, kdtree.py / quadtree.py):
+
+* **Host (numpy, this module's ``SDTree``)** — authoritative structure.
+  Refinement (kd split at vertCount > c*sqrt(2^k), c=12000, kdtree.py:327-330;
+  quad merge-then-split at 1% of root flux, quadtree.py:512-637), compaction,
+  copy prev<-current, resets, npz save/load (the reference's exact 23-key
+  schema, kdtree.py:575-602). Runs once per training iteration — cheap.
+
+* **Device (jit, ``SDTreeDevice`` + functions below)** — fixed-capacity
+  array mirrors used inside the render pass: stack-free kd descent, quadtree
+  CDF sampling, pdf descent, and leaf-level splatting (scatter-add).
+
+Key semantic simplification with identical results: the reference splats
+irradiance into *every node on the root->leaf path* (quadtree.py:389-464)
+and vertCount likewise (kdtree.py:199). Because every splat terminates at a
+leaf, node sums equal the sum over contained leaves — so the device only
+scatter-adds at leaves and the host propagates sums bottom-up before
+refinement. Quadrant convention matches the reference (quadtree.py:150-186):
+child 0 = (x>=mid, y>=mid), 1 = (x<mid, y>=mid), 2 = (x<mid, y<mid),
+3 = (x>=mid, y<mid).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+KD_SPLIT_C = 12000.0  # reference kdtree.py:329-330
+QUAD_FLUX_FRACTION = 0.01  # reference quadtree.py:519
+
+
+@struct.dataclass
+class SDTreeDevice:
+    """Fixed-capacity device mirror of one SD-tree (read + splat)."""
+
+    # kd structure (NK,)
+    kd_axis: jnp.ndarray      # int32, depth % 3
+    kd_split: jnp.ndarray     # float32 split position
+    kd_left: jnp.ndarray      # int32 left child (right = left + 1); -1 at leaf
+    kd_leaf: jnp.ndarray      # bool
+    kd_quad_root: jnp.ndarray # int32 quadtree root node (leaves)
+    # quad structure (NQ, ...)
+    q_child: jnp.ndarray      # (NQ, 4) int32, -1 if leaf
+    q_irr: jnp.ndarray        # (NQ,) float32 — full node sums (prev tree)
+    # splat accumulators (leaf-level)
+    kd_vert_acc: jnp.ndarray  # (NK,) float32
+    q_irr_acc: jnp.ndarray    # (NQ,) float32
+    # bounds
+    bbox_lo: jnp.ndarray      # (3,)
+    bbox_inv_size: jnp.ndarray  # (3,)
+    kd_max_depth: int = struct.field(pytree_node=False, default=20)
+    quad_max_depth: int = struct.field(pytree_node=False, default=20)
+
+
+def kd_lookup(tree: SDTreeDevice, p):
+    """Point query: world positions (N,3) -> (kd leaf index, quad root)."""
+    x = (p - tree.bbox_lo) * tree.bbox_inv_size  # normalized [0,1]^3
+    node = jnp.zeros(p.shape[:-1], jnp.int32)
+
+    def body(_, node):
+        leaf = tree.kd_leaf[node]
+        axis = tree.kd_axis[node]
+        split = tree.kd_split[node]
+        v = jnp.take_along_axis(x, axis[..., None], axis=-1)[..., 0]
+        left = tree.kd_left[node]
+        nxt = jnp.where(v < split, left, left + 1)
+        return jnp.where(leaf, node, nxt)
+
+    node = jax.lax.fori_loop(0, tree.kd_max_depth, body, node)
+    return node, tree.kd_quad_root[node]
+
+
+def _quadrant(px, py, mx, my):
+    right = px >= mx
+    top = py >= my
+    return jnp.where(
+        top, jnp.where(right, 0, 1), jnp.where(right, 2, 3)
+    ).astype(jnp.int32)
+
+
+def quad_leaf_lookup(tree: SDTreeDevice, root, xy):
+    """Descend to the leaf containing canonical coords xy (N,2)."""
+    node = root
+    lo = jnp.zeros_like(xy)
+    size = jnp.ones_like(xy)
+
+    def body(_, carry):
+        node, lo, size = carry
+        leaf = tree.q_child[node, 0] < 0
+        mid = lo + 0.5 * size
+        c = _quadrant(xy[..., 0], xy[..., 1], mid[..., 0], mid[..., 1])
+        child = tree.q_child[node, c]
+        new_lo = jnp.stack(
+            [
+                jnp.where((c == 0) | (c == 3), mid[..., 0], lo[..., 0]),
+                jnp.where(c <= 1, mid[..., 1], lo[..., 1]),
+            ],
+            axis=-1,
+        )
+        node2 = jnp.where(leaf, node, child)
+        lo2 = jnp.where(leaf[..., None], lo, new_lo)
+        size2 = jnp.where(leaf[..., None], size, 0.5 * size)
+        return node2, lo2, size2
+
+    node, lo, size = jax.lax.fori_loop(
+        0, tree.quad_max_depth, body, (node, lo, size)
+    )
+    return node
+
+
+def quad_pdf(tree: SDTreeDevice, root, xy):
+    """Solid-angle pdf of the guiding distribution at canonical coords xy:
+    1/(4 pi) * prod(4 * irr_child / irr_parent) down the containment path
+    (reference quadtree.py:1001-1101, NaN->0 guard at :1090-1092)."""
+    node = root
+    lo = jnp.zeros_like(xy)
+    size = jnp.ones_like(xy)
+    pdf = jnp.full(xy.shape[:-1], 1.0 / (4.0 * np.pi), jnp.float32)
+
+    def body(_, carry):
+        node, lo, size, pdf = carry
+        leaf = tree.q_child[node, 0] < 0
+        mid = lo + 0.5 * size
+        c = _quadrant(xy[..., 0], xy[..., 1], mid[..., 0], mid[..., 1])
+        kids = tree.q_child[node]  # (N,4)
+        irr_kids = jnp.where(kids >= 0, tree.q_irr[jnp.maximum(kids, 0)], 0.0)
+        total = jnp.sum(irr_kids, axis=-1)
+        irr_c = jnp.take_along_axis(irr_kids, c[..., None], axis=-1)[..., 0]
+        ratio = jnp.where(total > 0, 4.0 * irr_c / jnp.maximum(total, 1e-30), 1.0)
+        child = tree.q_child[node, c]
+        new_lo = jnp.stack(
+            [
+                jnp.where((c == 0) | (c == 3), mid[..., 0], lo[..., 0]),
+                jnp.where(c <= 1, mid[..., 1], lo[..., 1]),
+            ],
+            axis=-1,
+        )
+        pdf2 = jnp.where(leaf, pdf, pdf * ratio)
+        node2 = jnp.where(leaf, node, child)
+        lo2 = jnp.where(leaf[..., None], lo, new_lo)
+        size2 = jnp.where(leaf[..., None], size, 0.5 * size)
+        return node2, lo2, size2, pdf2
+
+    node, lo, size, pdf = jax.lax.fori_loop(
+        0, tree.quad_max_depth, body, (node, lo, size, pdf)
+    )
+    # zero-irradiance subtree -> pdf collapses to uniform contributions; the
+    # reference returns NaN->0 there; emulate: if the *root* has zero flux,
+    # pdf = uniform (handled by ratio=1 path -> 1/4pi), which the sampler
+    # also uses, keeping sample/pdf consistent.
+    return jnp.where(jnp.isfinite(pdf), pdf, 0.0)
+
+
+def quad_sample(tree: SDTreeDevice, root, u1, u2):
+    """Sample canonical coords from the quadtree CDF descent
+    (reference quadtree.py:931-998). Returns (xy, pdf)."""
+    node = root
+    n = u1.shape
+    lo = jnp.zeros(n + (2,), jnp.float32)
+    size = jnp.ones(n + (2,), jnp.float32)
+    pdf = jnp.full(n, 1.0 / (4.0 * np.pi), jnp.float32)
+    # mutable uniforms for reuse down the tree (rescaled each level)
+    state = (node, lo, size, pdf, u1, u2)
+
+    def body(_, carry):
+        node, lo, size, pdf, u1, u2 = carry
+        leaf = tree.q_child[node, 0] < 0
+        kids = tree.q_child[node]
+        irr = jnp.where(kids >= 0, tree.q_irr[jnp.maximum(kids, 0)], 0.0)
+        total = jnp.sum(irr, axis=-1)
+        prob = jnp.where(
+            (total > 0)[..., None], irr / jnp.maximum(total[..., None], 1e-30), 0.25
+        )
+        c0 = prob[..., 0]
+        c1 = c0 + prob[..., 1]
+        c2 = c1 + prob[..., 2]
+        # pick child by u1, then rescale u1 within the chosen segment
+        c = jnp.where(
+            u1 < c0, 0, jnp.where(u1 < c1, 1, jnp.where(u1 < c2, 2, 3))
+        ).astype(jnp.int32)
+        seg_lo = jnp.where(c == 0, 0.0, jnp.where(c == 1, c0, jnp.where(c == 2, c1, c2)))
+        p_c = jnp.take_along_axis(prob, c[..., None], axis=-1)[..., 0]
+        u1n = jnp.clip((u1 - seg_lo) / jnp.maximum(p_c, 1e-12), 0.0, 1.0 - 1e-7)
+        mid = lo + 0.5 * size
+        new_lo = jnp.stack(
+            [
+                jnp.where((c == 0) | (c == 3), mid[..., 0], lo[..., 0]),
+                jnp.where(c <= 1, mid[..., 1], lo[..., 1]),
+            ],
+            axis=-1,
+        )
+        child = tree.q_child[node, c]
+        pdf2 = jnp.where(leaf, pdf, pdf * 4.0 * p_c)
+        node2 = jnp.where(leaf, node, child)
+        lo2 = jnp.where(leaf[..., None], lo, new_lo)
+        size2 = jnp.where(leaf[..., None], size, 0.5 * size)
+        u1b = jnp.where(leaf, u1, u1n)
+        return node2, lo2, size2, pdf2, u1b, u2
+
+    node, lo, size, pdf, u1, u2 = jax.lax.fori_loop(0, tree.quad_max_depth, body, state)
+    # uniform position within the leaf cell
+    xy = lo + size * jnp.stack([u1, u2], axis=-1)
+    xy = jnp.clip(xy, 0.0, 1.0 - 1e-7)
+    return xy, pdf
+
+
+def splat(tree: SDTreeDevice, p, xy, value, weight, nee_xy=None, nee_value=None,
+          mask=None):
+    """Accumulate training records into the leaf accumulators.
+
+    p: (V,3) world positions; xy: (V,2) canonical directions;
+    value: (V,) irradiance estimate (radiance / woPdf, quadtree.py:449-453);
+    weight: (V,) statistical weight -> kd vertCount;
+    nee_*: optional NEE stream (luminance(nee_radiance)/woPdf at the NEE
+    direction, quadtree.py:455-464).
+    Returns updated tree (functional).
+    """
+    if mask is None:
+        mask = jnp.ones(value.shape, bool)
+    kd_leaf, root = kd_lookup(tree, p)
+    kd_acc = tree.kd_vert_acc.at[kd_leaf].add(jnp.where(mask, weight, 0.0))
+    q_leaf = quad_leaf_lookup(tree, root, xy)
+    q_acc = tree.q_irr_acc.at[q_leaf].add(jnp.where(mask, value, 0.0))
+    if nee_xy is not None:
+        q_leaf_nee = quad_leaf_lookup(tree, root, nee_xy)
+        nee_mask = mask & (nee_value > 0)
+        q_acc = q_acc.at[q_leaf_nee].add(jnp.where(nee_mask, nee_value, 0.0))
+    return tree.replace(kd_vert_acc=kd_acc, q_irr_acc=q_acc)
+
+
+# ===========================================================================
+# Host-side authoritative tree
+# ===========================================================================
+
+
+class SDTree:
+    """Host (numpy) SD-tree with reference-equivalent refinement semantics."""
+
+    def __init__(
+        self,
+        bbox_lo,
+        bbox_hi,
+        kd_max_depth: int = 20,
+        quad_max_depth: int = 20,
+        kd_capacity: int = 1 << 15,
+        quad_capacity: int = 1 << 21,
+        store_nee: bool = True,
+        max_leaf_size: float = 1.0,
+    ):
+        self.bbox_lo = np.asarray(bbox_lo, np.float64)
+        self.bbox_hi = np.asarray(bbox_hi, np.float64)
+        self.kd_max_depth = kd_max_depth
+        self.quad_max_depth = quad_max_depth
+        self.kd_capacity = kd_capacity
+        self.quad_capacity = quad_capacity
+        self.store_nee = store_nee
+        self.max_leaf_size = max_leaf_size
+
+        # kd arrays (only [:kd_count] live)
+        self.kd_count = 1
+        self.kd_axis = np.zeros(kd_capacity, np.int32)
+        self.kd_split = np.full(kd_capacity, 0.5, np.float32)  # normalized coords
+        self.kd_left = np.full(kd_capacity, -1, np.int32)
+        self.kd_leaf = np.zeros(kd_capacity, bool)
+        self.kd_leaf[0] = True
+        self.kd_depth = np.zeros(kd_capacity, np.int32)
+        self.kd_vert = np.zeros(kd_capacity, np.float64)
+        self.kd_quad_root = np.full(kd_capacity, -1, np.int32)
+        self.kd_quad_root[0] = 0
+
+        # quad arrays
+        self.q_count = 1
+        self.q_child = np.full((quad_capacity, 4), -1, np.int32)
+        self.q_irr = np.zeros(quad_capacity, np.float64)
+        self.q_depth = np.zeros(quad_capacity, np.int32)
+        self.q_threshold = np.zeros(quad_capacity, np.float32)
+
+        self.kd_threshold = KD_SPLIT_C  # updated per iteration
+
+    # ------------------------------------------------------------------ #
+    # device sync
+    # ------------------------------------------------------------------ #
+
+    def to_device(self) -> SDTreeDevice:
+        size = np.maximum(self.bbox_hi - self.bbox_lo, 1e-9)
+        return SDTreeDevice(
+            kd_axis=jnp.asarray(self.kd_axis),
+            kd_split=jnp.asarray(self.kd_split),
+            kd_left=jnp.asarray(self.kd_left),
+            kd_leaf=jnp.asarray(self.kd_leaf),
+            kd_quad_root=jnp.asarray(self.kd_quad_root),
+            q_child=jnp.asarray(self.q_child),
+            q_irr=jnp.asarray(self.q_irr.astype(np.float32)),
+            kd_vert_acc=jnp.zeros(self.kd_capacity, jnp.float32),
+            q_irr_acc=jnp.zeros(self.quad_capacity, jnp.float32),
+            bbox_lo=jnp.asarray(self.bbox_lo, jnp.float32),
+            bbox_inv_size=jnp.asarray(1.0 / size, jnp.float32),
+            kd_max_depth=self.kd_max_depth,
+            quad_max_depth=self.quad_max_depth,
+        )
+
+    def absorb_accumulators(self, dev: SDTreeDevice):
+        """Pull leaf accumulators from device and propagate sums bottom-up
+        (equivalent to the reference's on-path splatting)."""
+        kd_acc = np.asarray(dev.kd_vert_acc, np.float64)
+        q_acc = np.asarray(dev.q_irr_acc, np.float64)
+        self.kd_vert += self._kd_propagate(kd_acc)
+        self.q_irr += self._quad_propagate(q_acc)
+
+    def _kd_propagate(self, leaf_vals):
+        out = leaf_vals.copy()
+        # children always have larger indices -> reverse sweep
+        for i in range(self.kd_count - 1, -1, -1):
+            l = self.kd_left[i]
+            if l >= 0:
+                out[i] += out[l] + out[l + 1]
+        return out
+
+    def _quad_propagate(self, leaf_vals):
+        out = leaf_vals.copy()
+        for i in range(self.q_count - 1, -1, -1):
+            c = self.q_child[i]
+            if c[0] >= 0:
+                out[i] += out[c].sum()
+        return out
+
+    # ------------------------------------------------------------------ #
+    # refinement (reference semantics)
+    # ------------------------------------------------------------------ #
+
+    def set_refinement_threshold(self, iteration: int):
+        """maxLeafSize = c * sqrt(2^k) (reference kdtree.py:327-330)."""
+        self.kd_threshold = KD_SPLIT_C * np.sqrt(2.0**iteration)
+
+    def refine(self):
+        self._kd_refine()
+        self._quad_refine()
+        self._compact_quad()
+
+    def _kd_split_node(self, i):
+        if self.kd_count + 2 > self.kd_capacity:
+            raise RuntimeError("kd capacity exceeded; raise kd_capacity")
+        l = self.kd_count
+        self.kd_count += 2
+        axis = self.kd_depth[i] % 3  # reference kdtree.py:277
+        self.kd_left[i] = l
+        self.kd_leaf[i] = False
+        self.kd_axis[i] = axis
+        # midpoint split in normalized coords: each kd node's extent along
+        # its axis halves per level along that axis
+        for c, ci in ((0, l), (1, l + 1)):
+            self.kd_leaf[ci] = True
+            self.kd_left[ci] = -1
+            self.kd_depth[ci] = self.kd_depth[i] + 1
+            self.kd_vert[ci] = self.kd_vert[i] / 2.0  # kdtree.py:261-263
+            self.kd_quad_root[ci] = -1
+        # children split positions are set lazily when they split; store
+        # node bboxes implicitly via (depth, path) — we track explicit bboxes:
+        # handled by _kd_recompute_geometry below.
+
+    def _kd_refine(self):
+        """Iterated split while vertCount > threshold and depth < maxDepth
+        (kdtree.py:333-358). Left child inherits the quadtree; right child
+        gets a deep copy (kdtree.py:310-323)."""
+        self._kd_recompute_geometry()
+        work = [i for i in range(self.kd_count) if self.kd_leaf[i]]
+        while work:
+            nxt = []
+            for i in work:
+                if (
+                    self.kd_leaf[i]
+                    and self.kd_vert[i] > self.kd_threshold * self.max_leaf_size
+                    and self.kd_depth[i] < self.kd_max_depth
+                ):
+                    root = self.kd_quad_root[i]
+                    self._kd_split_node(i)
+                    l = self.kd_left[i]
+                    self.kd_quad_root[l] = root
+                    self.kd_quad_root[l + 1] = self._quad_deep_copy(root)
+                    nxt += [l, l + 1]
+            work = nxt
+        self._kd_recompute_geometry()
+
+    def _kd_recompute_geometry(self):
+        """Set kd_split of internal nodes from implied bboxes (midpoint
+        splits on axis = depth % 3, kdtree.py:266-304)."""
+        lo = np.zeros((self.kd_count, 3))
+        hi = np.ones((self.kd_count, 3))
+        # BFS from root computing child bboxes
+        for i in range(self.kd_count):
+            l = self.kd_left[i]
+            if l < 0:
+                continue
+            axis = self.kd_depth[i] % 3
+            self.kd_axis[i] = axis
+            mid = 0.5 * (lo[i, axis] + hi[i, axis])
+            self.kd_split[i] = mid
+            lo[l] = lo[i]
+            hi[l] = hi[i]
+            hi[l, axis] = mid
+            lo[l + 1] = lo[i]
+            lo[l + 1, axis] = mid
+            hi[l + 1] = hi[i]
+        self._kd_lo, self._kd_hi = lo, hi
+
+    def _quad_alloc(self, n):
+        if self.q_count + n > self.quad_capacity:
+            raise RuntimeError("quad capacity exceeded; raise quad_capacity")
+        base = self.q_count
+        self.q_count += n
+        return base
+
+    def _quad_deep_copy(self, root) -> int:
+        """Copy a whole quadtree (kd right-child split, kdtree.py:310-323 via
+        quadtree copyTree/appendQuadTreeNode)."""
+        if root < 0:
+            return -1
+        # iterative BFS copy
+        new_root = self._quad_alloc(1)
+        self.q_child[new_root] = -1
+        self.q_irr[new_root] = self.q_irr[root]
+        self.q_depth[new_root] = 0
+        self.q_threshold[new_root] = self.q_threshold[root]
+        stack = [(root, new_root)]
+        while stack:
+            src, dst = stack.pop()
+            if self.q_child[src, 0] < 0:
+                continue
+            base = self._quad_alloc(4)
+            for c in range(4):
+                sc = self.q_child[src, c]
+                dc = base + c
+                self.q_child[dst, c] = dc
+                self.q_child[dc] = -1
+                self.q_irr[dc] = self.q_irr[sc]
+                self.q_depth[dc] = self.q_depth[dst] + 1
+                self.q_threshold[dc] = self.q_threshold[sc]
+                stack.append((sc, dc))
+        return new_root
+
+    def _quad_refine(self):
+        """Per root: threshold = total flux * 1% pushed to all nodes
+        (quadtree.py:512-560); BFS merge pass (internal node irradiance <
+        threshold -> merge, :574-611) then iterated split pass (leaf
+        irradiance > threshold and depth < maxDepth, :617-637).
+        Irradiance of new children = parent / 4 (:134)."""
+        roots = np.unique(self.kd_quad_root[: self.kd_count][self.kd_leaf[: self.kd_count]])
+        roots = roots[roots >= 0]
+        for root in roots:
+            thresh = self.q_irr[root] * QUAD_FLUX_FRACTION
+            # merge pass (BFS)
+            stack = [int(root)]
+            while stack:
+                i = stack.pop()
+                if self.q_child[i, 0] < 0:
+                    continue
+                if self.q_irr[i] < thresh and i != root:
+                    self._quad_merge(i)
+                else:
+                    stack += [int(c) for c in self.q_child[i]]
+            # split pass (iterate until stable)
+            stack = [int(root)]
+            while stack:
+                i = stack.pop()
+                if self.q_child[i, 0] >= 0:
+                    stack += [int(c) for c in self.q_child[i]]
+                    continue
+                if self.q_irr[i] > thresh and self.q_depth[i] < self.quad_max_depth:
+                    base = self._quad_alloc(4)
+                    self.q_child[i] = base + np.arange(4)
+                    for c in range(4):
+                        ci = base + c
+                        self.q_child[ci] = -1
+                        self.q_irr[ci] = self.q_irr[i] / 4.0
+                        self.q_depth[ci] = self.q_depth[i] + 1
+                        self.q_threshold[ci] = thresh
+                        stack.append(ci)
+            self.q_threshold[root] = thresh
+
+    def _quad_merge(self, i):
+        """Collapse node i's subtree into a leaf (quadtree.py:194-213)."""
+        self.q_child[i] = -1
+
+    def _compact_quad(self):
+        """Drop unreachable quad nodes (clearTreeUnusedNode,
+        quadtree.py:844-851) and renumber depth-first."""
+        roots = self.kd_quad_root[: self.kd_count]
+        live_roots = [int(r) for r, leaf in zip(roots, self.kd_leaf[: self.kd_count]) if r >= 0]
+        remap = {}
+        new_child = np.full((self.quad_capacity, 4), -1, np.int32)
+        new_irr = np.zeros(self.quad_capacity, np.float64)
+        new_depth = np.zeros(self.quad_capacity, np.int32)
+        new_thresh = np.zeros(self.quad_capacity, np.float32)
+        count = 0
+        for root in live_roots:
+            if root in remap:
+                continue
+            stack = [int(root)]
+            remap[root] = count
+            count += 1
+            while stack:
+                i = stack.pop()
+                ni = remap[i]
+                new_irr[ni] = self.q_irr[i]
+                new_depth[ni] = self.q_depth[i]
+                new_thresh[ni] = self.q_threshold[i]
+                if self.q_child[i, 0] >= 0:
+                    for c in range(4):
+                        ci = int(self.q_child[i, c])
+                        remap[ci] = count
+                        new_child[ni, c] = count
+                        count += 1
+                        stack.append(ci)
+        self.q_child = new_child
+        self.q_irr = new_irr
+        self.q_depth = new_depth
+        self.q_threshold = new_thresh
+        self.q_count = max(count, 1)
+        for i in range(self.kd_count):
+            r = self.kd_quad_root[i]
+            if r >= 0 and r in remap:
+                self.kd_quad_root[i] = remap[r]
+
+    # ------------------------------------------------------------------ #
+    # iteration plumbing
+    # ------------------------------------------------------------------ #
+
+    def copy(self) -> "SDTree":
+        import copy as _copy
+
+        t = _copy.copy(self)
+        for k, v in list(t.__dict__.items()):
+            if isinstance(v, np.ndarray):
+                setattr(t, k, v.copy())
+        return t
+
+    def reset_counters(self):
+        """Zero vertCount and irradiance, keep structure
+        (kdtree.py:401-432, quadtree.py:640-683)."""
+        self.kd_vert[:] = 0.0
+        self.q_irr[:] = 0.0
+
+    # ------------------------------------------------------------------ #
+    # serialization — the reference's 23-key npz schema (kdtree.py:575-602)
+    # ------------------------------------------------------------------ #
+
+    def save(self, path):
+        nk, nq = self.kd_count, self.q_count
+        self._kd_recompute_geometry()
+        size = self.bbox_hi - self.bbox_lo
+        kd_lo = self._kd_lo[:nk] * size + self.bbox_lo
+        kd_hi = self._kd_hi[:nk] * size + self.bbox_lo
+        q_lo, q_hi = self._quad_bboxes()
+        # Reference indirection (kdtree.py:556, quadtree rootNodeIndex):
+        # kd leaves store a SLOT into quadtree_rootNodeIndex; the table maps
+        # slots -> quad node ids.
+        roots = []
+        slot_of = {}
+        kd_root_slots = np.zeros(nk, np.uint32)
+        for i in range(nk):
+            r = int(self.kd_quad_root[i])
+            if r < 0:
+                continue
+            if r not in slot_of:
+                slot_of[r] = len(roots)
+                roots.append(r)
+            kd_root_slots[i] = slot_of[r]
+        roots = np.asarray(roots if roots else [0], np.uint32)
+        np.savez_compressed(
+            path,
+            kdtree_maxLeafSize=self.max_leaf_size,
+            kdtree_maxDepth=self.kd_max_depth,
+            kdtree_bbox_min=kd_lo.astype(np.float32),
+            kdtree_bbox_max=kd_hi.astype(np.float32),
+            kdtree_depth=self.kd_depth[:nk].astype(np.uint32),
+            kdtree_vertCount=self.kd_vert[:nk].astype(np.float32),
+            kdtree_isLeaf=self.kd_leaf[:nk],
+            kdtree_quadTreeRootIndex=kd_root_slots,
+            kdtree_child_left_index=np.maximum(self.kd_left[:nk], 0).astype(np.uint32),
+            kdtree_child_right_index=np.maximum(
+                np.where(self.kd_left[:nk] >= 0, self.kd_left[:nk] + 1, 0), 0
+            ).astype(np.uint32),
+            quadtree_maxDepth=self.quad_max_depth,
+            quadtree_isStoreNEERadiance=self.store_nee,
+            quadtree_rootNodeIndex=roots,
+            quadtree_bbox_min=q_lo.astype(np.float32),
+            quadtree_bbox_max=q_hi.astype(np.float32),
+            quadtree_depth=self.q_depth[:nq].astype(np.uint32),
+            quadtree_irradiance=self.q_irr[:nq].astype(np.float32),
+            quadtree_isLeaf=self.q_child[:nq, 0] < 0,
+            quadtree_refinementThreshold=self.q_threshold[:nq],
+            quadtree_child_1_index=np.maximum(self.q_child[:nq, 0], 0).astype(np.uint32),
+            quadtree_child_2_index=np.maximum(self.q_child[:nq, 1], 0).astype(np.uint32),
+            quadtree_child_3_index=np.maximum(self.q_child[:nq, 2], 0).astype(np.uint32),
+            quadtree_child_4_index=np.maximum(self.q_child[:nq, 3], 0).astype(np.uint32),
+        )
+
+    def _quad_bboxes(self):
+        lo = np.zeros((self.q_count, 2))
+        hi = np.ones((self.q_count, 2))
+        # quadrants: 0=(x>=m,y>=m) 1=(x<m,y>=m) 2=(x<m,y<m) 3=(x>=m,y<m)
+        for i in range(self.q_count):
+            c = self.q_child[i]
+            if c[0] < 0:
+                continue
+            mid = 0.5 * (lo[i] + hi[i])
+            for ci, (xlo, ylo) in zip(c, [(1, 1), (0, 1), (0, 0), (1, 0)]):
+                lo[ci] = [mid[0] if xlo else lo[i][0], mid[1] if ylo else lo[i][1]]
+                hi[ci] = [hi[i][0] if xlo else mid[0], hi[i][1] if ylo else mid[1]]
+        return lo, hi
+
+    @classmethod
+    def load(cls, path, kd_capacity=1 << 15, quad_capacity=1 << 21) -> "SDTree":
+        z = np.load(path)
+        nk = len(z["kdtree_depth"])
+        nq = len(z["quadtree_depth"])
+        lo = z["kdtree_bbox_min"][0]
+        hi = z["kdtree_bbox_max"][0]
+        t = cls(
+            lo,
+            hi,
+            kd_max_depth=int(z["kdtree_maxDepth"]),
+            quad_max_depth=int(z["quadtree_maxDepth"]),
+            kd_capacity=max(kd_capacity, nk),
+            quad_capacity=max(quad_capacity, nq),
+            store_nee=bool(z["quadtree_isStoreNEERadiance"]),
+            max_leaf_size=float(z["kdtree_maxLeafSize"]),
+        )
+        t.kd_count = nk
+        t.kd_leaf[:nk] = z["kdtree_isLeaf"]
+        t.kd_depth[:nk] = z["kdtree_depth"]
+        t.kd_vert[:nk] = z["kdtree_vertCount"]
+        root_table = z["quadtree_rootNodeIndex"].astype(np.int32)
+        slots = z["kdtree_quadTreeRootIndex"].astype(np.int32)
+        t.kd_quad_root[:nk] = np.where(
+            t.kd_leaf[:nk], root_table[np.clip(slots, 0, len(root_table) - 1)], -1
+        )
+        left = z["kdtree_child_left_index"].astype(np.int32)
+        t.kd_left[:nk] = np.where(t.kd_leaf[:nk], -1, left)
+        t.q_count = nq
+        t.q_irr[:nq] = z["quadtree_irradiance"]
+        t.q_depth[:nq] = z["quadtree_depth"]
+        t.q_threshold[:nq] = z["quadtree_refinementThreshold"]
+        qleaf = z["quadtree_isLeaf"]
+        for c in range(4):
+            ci = z[f"quadtree_child_{c+1}_index"].astype(np.int32)
+            t.q_child[:nq, c] = np.where(qleaf, -1, ci)
+        t._kd_recompute_geometry()
+        return t
+
+    # ------------------------------------------------------------------ #
+    # OBJ export of kd leaf bboxes (kdtree.py:605-663)
+    # ------------------------------------------------------------------ #
+
+    def save_obj(self, path):
+        self._kd_recompute_geometry()
+        size = self.bbox_hi - self.bbox_lo
+        lines = []
+        verts = []
+        for i in range(self.kd_count):
+            if not self.kd_leaf[i]:
+                continue
+            lo = self._kd_lo[i] * size + self.bbox_lo
+            hi = self._kd_hi[i] * size + self.bbox_lo
+            base = len(verts)
+            for zz in (lo[2], hi[2]):
+                for yy in (lo[1], hi[1]):
+                    for xx in (lo[0], hi[0]):
+                        verts.append((xx, yy, zz))
+            for a, b in [
+                (0, 1), (1, 3), (3, 2), (2, 0),
+                (4, 5), (5, 7), (7, 6), (6, 4),
+                (0, 4), (1, 5), (2, 6), (3, 7),
+            ]:
+                lines.append((base + a + 1, base + b + 1))
+        with open(path, "w") as f:
+            for v in verts:
+                f.write(f"v {v[0]} {v[1]} {v[2]}\n")
+            for a, b in lines:
+                f.write(f"l {a} {b}\n")

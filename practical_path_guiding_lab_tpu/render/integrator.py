@@ -1,0 +1,163 @@
+"""PathGuidingIntegrator: stateful orchestration around the jitted guided
+render pass — reference-parity surface (path_guiding_integrator.py:29-620):
+setup, setIteration, per-pass render + moment accumulation,
+computeVariance/computeMSE, refineAndPrepareSDTreeForNextIteration,
+saveSDTreeToFile/loadSDTreeFromFile, saveSDTreeOBJ, resetVarianceCounter.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..guiding.sdtree import SDTree
+from . import variance as var_mod
+from .guided import render_guided_pass
+from .path_tracer import render_pass as pt_render_pass
+
+
+class PathGuidingIntegrator:
+    def __init__(self, scene, bsdf_sampling_fraction=0.5):
+        self.scene = scene
+        self.bsdf_sampling_fraction = bsdf_sampling_fraction
+        self.iteration = 0
+        self.is_final = False
+        n = scene.camera.width * scene.camera.height
+        self.sum_l = jnp.zeros((n, 3))
+        self.sum_l2 = jnp.zeros((n, 3))
+        self.tree_prev: SDTree | None = None
+        self.tree_current: SDTree | None = None
+        self.dev_tree = None
+        self._jit_pass = jax.jit(
+            partial(render_guided_pass, bsdf_fraction=bsdf_sampling_fraction),
+            static_argnames=("is_final",),
+        )
+
+    # ------------------------------------------------------------------ #
+
+    def setup(
+        self,
+        sd_tree_max_depth=20,
+        quad_tree_max_depth=20,
+        store_nee=True,
+        bbox_eps=1e-4,
+        kd_capacity=1 << 15,
+        quad_capacity=1 << 20,
+    ):
+        """Reference setup (path_guiding_integrator.py:77-105): trees over
+        the scene bbox +- eps (main.py:55-59)."""
+        lo = np.asarray(self.scene.bbox_lo) - bbox_eps
+        hi = np.asarray(self.scene.bbox_hi) + bbox_eps
+        self.tree_current = SDTree(
+            lo, hi,
+            kd_max_depth=sd_tree_max_depth,
+            quad_max_depth=quad_tree_max_depth,
+            kd_capacity=kd_capacity,
+            quad_capacity=quad_capacity,
+            store_nee=store_nee,
+        )
+        self.tree_prev = self.tree_current.copy()
+        self._sync_device()
+
+    def _sync_device(self):
+        """Device mirror: structure + prev irradiance (sampling) + zeroed
+        accumulators (current splats)."""
+        self.dev_tree = self.tree_prev.to_device()
+
+    def setIteration(self, iteration, is_final):
+        self.iteration = iteration
+        self.is_final = is_final
+
+    def resetVarianceCounter(self):
+        self.sum_l = jnp.zeros_like(self.sum_l)
+        self.sum_l2 = jnp.zeros_like(self.sum_l2)
+
+    # ------------------------------------------------------------------ #
+
+    def render_pass(self, seed0, cumm_spp):
+        """One 1-spp pass; accumulates film moments; returns the box image
+        of this pass ((H,W,3) numpy-convertible) and rays cast."""
+        L, px, py, rays, dev = self._jit_pass(
+            self.scene,
+            self.dev_tree,
+            self.dev_tree,
+            seed0,
+            cumm_spp,
+            self.iteration,
+            is_final=self.is_final,
+        )
+        self.dev_tree = dev
+        self.sum_l, self.sum_l2 = var_mod.accumulate_moments(
+            self.sum_l, self.sum_l2, L, px, py, self.scene.camera.width
+        )
+        img = L.reshape(self.scene.camera.height, self.scene.camera.width, 3)
+        return img, float(rays)
+
+    # ------------------------------------------------------------------ #
+
+    def computeVariance(self, spp, ground_truth=None):
+        if ground_truth is None:
+            return float(var_mod.compute_variance_self(self.sum_l, self.sum_l2, spp))
+        gt = ground_truth.reshape(-1, 3)
+        return float(
+            var_mod.compute_variance_gt(self.sum_l, self.sum_l2, spp, gt)
+        )
+
+    def computeMSE(self, spp, ground_truth):
+        gt = ground_truth.reshape(-1, 3)
+        return float(var_mod.compute_mse(self.sum_l, spp, gt))
+
+    # ------------------------------------------------------------------ #
+
+    def refineAndPrepareSDTreeForNextIteration(self):
+        """Reference :566-586: absorb splats -> set kd threshold -> refine ->
+        compact -> prev = current -> reset current counters."""
+        self.tree_current.absorb_accumulators(self.dev_tree)
+        self.tree_current.set_refinement_threshold(self.iteration)
+        self.tree_current.refine()
+        self.tree_prev = self.tree_current.copy()
+        self.tree_current.reset_counters()
+        self._sync_device()
+
+    def saveSDTreeToFile(self, path):
+        """Saves the PREV tree (reference :589-595 saves each iteration)."""
+        self.tree_prev.save(path)
+
+    def loadSDTreeFromFile(self, path):
+        """npz -> prev; current = copy with reset counters (:597-608)."""
+        self.tree_prev = SDTree.load(path)
+        self.tree_current = self.tree_prev.copy()
+        self.tree_current.reset_counters()
+        self._sync_device()
+
+    def saveSDTreeOBJ(self, path):
+        self.tree_prev.save_obj(path)
+
+
+class PathTracingIntegrator:
+    """Unguided baseline with the same bookkeeping surface
+    (path_tracing_integrator_py.py)."""
+
+    def __init__(self, scene):
+        self.scene = scene
+        n = scene.camera.width * scene.camera.height
+        self.sum_l = jnp.zeros((n, 3))
+        self.sum_l2 = jnp.zeros((n, 3))
+        self._jit_pass = jax.jit(pt_render_pass, static_argnames=("jitter",))
+
+    def resetVarianceCounter(self):
+        self.sum_l = jnp.zeros_like(self.sum_l)
+        self.sum_l2 = jnp.zeros_like(self.sum_l2)
+
+    def render_pass(self, seed0, pass_index):
+        L, px, py, rays = self._jit_pass(self.scene, seed0, pass_index)
+        self.sum_l, self.sum_l2 = var_mod.accumulate_moments(
+            self.sum_l, self.sum_l2, L, px, py, self.scene.camera.width
+        )
+        img = L.reshape(self.scene.camera.height, self.scene.camera.width, 3)
+        return img, float(rays)
+
+    computeVariance = PathGuidingIntegrator.computeVariance
+    computeMSE = PathGuidingIntegrator.computeMSE

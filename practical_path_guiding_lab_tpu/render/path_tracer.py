@@ -39,6 +39,7 @@ def render_wavefront(scene, key, n_rays, px, py):
         "prev_pdf": jnp.full((n_rays,), 1.0),
         "prev_delta": jnp.ones(n_rays, bool),  # treat depth-0 emission as unweighted
         "depth": jnp.int32(0),
+        "rays_cast": jnp.float32(0.0),  # closest-hit + shadow rays (for Mrays/s)
     }
 
     def cond(s):
@@ -51,6 +52,7 @@ def render_wavefront(scene, key, n_rays, px, py):
 
         si = intersect(scene, s["o"], s["d"])
         active = s["active"]
+        s["rays_cast"] = s["rays_cast"] + jnp.sum(active.astype(jnp.float32))
         esc = active & ~si.valid
         hit = active & si.valid
 
@@ -91,6 +93,7 @@ def render_wavefront(scene, key, n_rays, px, py):
         nee_ok = nee_ok & (dot(nee["wo"], si.n) > 0)  # same hemisphere as geo normal
         shadowed = occluded(scene, si.p + si.n * 1e-4, nee["wo"], nee["dist"])
         nee_ok = nee_ok & ~shadowed
+        s["rays_cast"] = s["rays_cast"] + jnp.sum(hit.astype(jnp.float32))
         w_nee = jnp.where(
             nee["is_delta"], 1.0, mis_power_heuristic(nee["pdf"], pdf_bsdf_nee)
         )
@@ -127,7 +130,7 @@ def render_wavefront(scene, key, n_rays, px, py):
         return s
 
     final = jax.lax.while_loop(cond, body, state)
-    return nan_to_zero(final["L"])
+    return nan_to_zero(final["L"]), final["rays_cast"]
 
 
 def render_pass(scene, seed0, pass_index, jitter=True):
@@ -152,5 +155,5 @@ def render_pass(scene, seed0, pass_index, jitter=True):
     else:
         px = px + 0.5
         py = py + 0.5
-    L = render_wavefront(scene, key, n, px, py)
-    return L, px, py
+    L, rays_cast = render_wavefront(scene, key, n, px, py)
+    return L, px, py, rays_cast

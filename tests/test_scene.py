@@ -1,0 +1,72 @@
+"""Scene parsing / compilation tests over the whole bundled corpus."""
+import warnings
+
+import numpy as np
+import pytest
+
+from practical_path_guiding_lab_tpu.scene import load_file
+from practical_path_guiding_lab_tpu.scene.scene import compile_scene
+
+SCENES = "/root/reference/scenes"
+
+CORPUS = [
+    ("cornell-box", "scene.xml"),
+    ("veach-mis", "scene.xml"),
+    ("veach-bidir", "scene.xml"),
+    ("veach-ajar", "scene.xml"),
+    ("torus", "scene.xml"),
+    ("teapot", "teapot_compact.xml"),
+]
+
+
+@pytest.mark.parametrize("name,fn", CORPUS)
+def test_compile_all_scenes(name, fn):
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        s = compile_scene(load_file(f"{SCENES}/{name}/{fn}"))
+    assert s.num_tris + s.spheres["center"].shape[0] > 0
+    assert s.emitters.num >= 1
+    assert np.all(np.asarray(s.bbox_hi) >= np.asarray(s.bbox_lo))
+
+
+def test_defaults_and_overrides():
+    d = load_file(f"{SCENES}/cornell-box/scene.xml", resx=320, resy=200, spp=7)
+    assert d.sensor.width == 320 and d.sensor.height == 200
+    assert d.sensor.spp == 7
+    assert d.max_depth == 30
+    assert d.integrator == "path_guiding_integrator"
+
+
+def test_cornell_materials():
+    d = load_file(f"{SCENES}/cornell-box/scene.xml")
+    # 8 shapes, all twosided diffuse; light has zero reflectance
+    assert len(d.shapes) == 8
+    assert all(sh.bsdf.kind == "diffuse" and sh.bsdf.twosided for sh in d.shapes)
+    light = [sh for sh in d.shapes if sh.emitter_radiance is not None]
+    assert len(light) == 1
+    assert light[0].emitter_radiance == (17.0, 12.0, 4.0)
+
+
+def test_veach_mis_spheres():
+    d = load_file(f"{SCENES}/veach-mis/scene.xml")
+    spheres = [sh for sh in d.shapes if sh.kind == "sphere"]
+    assert len(spheres) == 3
+    assert {s.radius for s in spheres} == {1.0, 0.5, 0.05}
+    s = compile_scene(d)
+    assert s.emitters.num == 3
+    assert s.max_depth == 3
+
+
+def test_torus_parsing():
+    d = load_file(f"{SCENES}/torus/scene.xml")
+    kinds = {sh.bsdf.kind for sh in d.shapes}
+    assert "roughdielectric" in kinds and "conductor" in kinds
+    assert d.emitters[0].kind == "directional"
+    assert d.sensor.rfilter == "gaussian"
+    assert d.sensor.fov_axis == "x"
+
+
+def test_teapot_envmap():
+    s = compile_scene(load_file(f"{SCENES}/teapot/teapot_compact.xml"))
+    assert s.emitters.has_envmap
+    assert s.emitters.env_image.shape == (512, 1024, 3)

@@ -1,0 +1,200 @@
+"""SD-tree invariants — ports of the reference's __main__ harnesses
+(quadtree.py:1106-1437, kdtree.py:667-835): energy conservation after
+splat + propagate, refinement conservation, sampling/pdf consistency,
+npz save/load round-trip."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from practical_path_guiding_lab_tpu.guiding import sdtree as sd
+
+
+def _make_tree(**kw):
+    return sd.SDTree([0, 0, 0], [1, 1, 1], kd_capacity=1 << 12,
+                     quad_capacity=1 << 16, **kw)
+
+
+def _splat_random(tree, n=20000, seed=1):
+    rng = np.random.default_rng(seed)
+    dev = tree.to_device()
+    p = jnp.asarray(rng.random((n, 3)), jnp.float32)
+    xy = jnp.asarray(rng.random((n, 2)), jnp.float32)
+    val = jnp.asarray(rng.random(n), jnp.float32)
+    w = jnp.ones(n, jnp.float32)
+    dev = sd.splat(dev, p, xy, val, w)
+    tree.absorb_accumulators(dev)
+    return float(np.sum(np.asarray(val))), n
+
+
+def test_root_conservation():
+    """Root irradiance == sum of inputs; root vertCount == n
+    (reference oracle quadtree.py:1205-1218, kdtree.py:738-748)."""
+    t = _make_tree()
+    total, n = _splat_random(t)
+    assert abs(t.q_irr[0] - total) < 1e-2 * total
+    assert t.kd_vert[0] == n
+
+
+def test_refine_conserves_and_splits():
+    t = _make_tree()
+    total, n = _splat_random(t, n=50000)
+    t.kd_threshold = 1000.0  # force kd splits
+    t._kd_refine()
+    assert t.kd_count > 1
+    # vertCount halves per split: every leaf <= 1000 or at max depth
+    leaves = [i for i in range(t.kd_count) if t.kd_leaf[i]]
+    for i in leaves:
+        assert t.kd_vert[i] <= 1000.0 or t.kd_depth[i] >= t.kd_max_depth
+    # root count conserved through splits (children sum to parent)
+    for i in range(t.kd_count):
+        l = t.kd_left[i]
+        if l >= 0:
+            assert abs(t.kd_vert[l] + t.kd_vert[l + 1] - t.kd_vert[i]) < 1e-6
+
+    t._quad_refine()
+    t._compact_quad()
+    # quad children sum to parent (irradiance/4 per child at split)
+    for i in range(t.q_count):
+        c = t.q_child[i]
+        if c[0] >= 0:
+            assert abs(t.q_irr[c].sum() - t.q_irr[i]) < 1e-3 * max(t.q_irr[i], 1)
+    # all leaves below 1% threshold or at max depth
+    thresh = t.q_irr[0] * sd.QUAD_FLUX_FRACTION
+
+
+def test_resplat_into_refined_skeleton():
+    """Reset to skeleton then re-splat: conservation again
+    (quadtree.py:1305-1329)."""
+    t = _make_tree()
+    _splat_random(t, n=30000)
+    t.set_refinement_threshold(0)
+    t.kd_threshold = 2000.0
+    t.refine()
+    prev_counts = (t.kd_count, t.q_count)
+    t.reset_counters()
+    total, n = _splat_random(t, n=30000, seed=9)
+    assert (t.kd_count, t.q_count) == prev_counts
+    # energy is conserved across ALL quadtrees (one per kd leaf)
+    roots = np.unique(
+        t.kd_quad_root[: t.kd_count][t.kd_leaf[: t.kd_count]]
+    )
+    roots = roots[roots >= 0]
+    assert abs(t.q_irr[roots].sum() - total) < 1e-2 * total
+    assert t.kd_vert[0] == n
+
+
+def test_quad_sample_pdf_consistency():
+    """Sampled directions' pdf must equal quad_pdf at the same point, and
+    the pdf must integrate to 1 over the sphere (MC)."""
+    t = _make_tree()
+    _splat_random(t, n=50000)
+    t.kd_threshold = 5000.0
+    t.set_refinement_threshold(0)
+    t.refine()
+    t.q_irr[: t.q_count] += 0  # noop
+    dev = t.to_device()
+    rng = np.random.default_rng(3)
+    m = 20000
+    root = jnp.zeros(m, jnp.int32)
+    u1 = jnp.asarray(rng.random(m), jnp.float32)
+    u2 = jnp.asarray(rng.random(m), jnp.float32)
+    xy, pdf = sd.quad_sample(dev, root, u1, u2)
+    pdf2 = sd.quad_pdf(dev, root, xy)
+    assert np.allclose(np.asarray(pdf), np.asarray(pdf2), rtol=1e-3, atol=1e-6)
+    # MC integral of pdf over uniform canonical points = 1/(4pi)*... -> the
+    # direction-space pdf integrates to 1: E_uniform[pdf]*4pi == 1
+    xy_u = jnp.asarray(rng.random((m, 2)), jnp.float32)
+    pdf_u = sd.quad_pdf(dev, root, xy_u)
+    integral = float(jnp.mean(pdf_u) * 4 * np.pi)
+    assert abs(integral - 1.0) < 0.05
+
+
+def test_sample_distribution_matches_irradiance():
+    """Sampling frequencies should track leaf irradiance fractions."""
+    t = _make_tree()
+    # concentrated splat: all energy in one quadrant direction
+    dev = t.to_device()
+    n = 10000
+    xy = jnp.asarray(np.full((n, 2), 0.75), jnp.float32)  # quadrant 0
+    p = jnp.asarray(np.random.default_rng(0).random((n, 3)), jnp.float32)
+    dev = sd.splat(dev, p, xy, jnp.ones(n), jnp.ones(n))
+    t.absorb_accumulators(dev)
+    t.set_refinement_threshold(0)
+    t.refine()
+    # children of a fresh split share the parent's irradiance /4 (reference
+    # quadtree.py:134) -> uniform; the distribution sharpens on re-splat
+    t.reset_counters()
+    dev = t.to_device()
+    dev = sd.splat(dev, p, xy, jnp.ones(n), jnp.ones(n))
+    t.absorb_accumulators(dev)
+    dev = t.to_device()
+    m = 20000
+    rng = np.random.default_rng(5)
+    xy_s, pdf = sd.quad_sample(
+        dev,
+        jnp.zeros(m, jnp.int32),
+        jnp.asarray(rng.random(m), jnp.float32),
+        jnp.asarray(rng.random(m), jnp.float32),
+    )
+    xy_s = np.asarray(xy_s)
+    # nearly all samples must fall in the energized quadrant
+    frac = np.mean((xy_s[:, 0] >= 0.5) & (xy_s[:, 1] >= 0.5))
+    assert frac > 0.95
+
+
+def test_kd_lookup_partition():
+    """Every point maps to exactly one leaf whose implied bbox contains it
+    (validateTreeNodeBBox analog, kdtree.py:361-398)."""
+    t = _make_tree()
+    _splat_random(t, n=30000)
+    t.kd_threshold = 1000.0
+    t._kd_refine()
+    dev = t.to_device()
+    rng = np.random.default_rng(2)
+    p = rng.random((5000, 3)).astype(np.float32)
+    leaf, root = sd.kd_lookup(dev, jnp.asarray(p))
+    leaf = np.asarray(leaf)
+    assert np.all(t.kd_leaf[leaf])
+    t._kd_recompute_geometry()
+    lo = t._kd_lo[leaf]
+    hi = t._kd_hi[leaf]
+    x = (p - t.bbox_lo) / (t.bbox_hi - t.bbox_lo)
+    assert np.all(x >= lo - 1e-6) and np.all(x <= hi + 1e-6)
+
+
+def test_npz_roundtrip(tmp_path):
+    """Save -> load preserves structure + irradiance (the reference's
+    23-key schema, kdtree.py:575-602)."""
+    t = _make_tree()
+    _splat_random(t, n=40000)
+    t.kd_threshold = 4000.0
+    t.set_refinement_threshold(0)
+    t.refine()
+    path = tmp_path / "tree.npz"
+    t.save(path)
+    z = np.load(path)
+    expected_keys = {
+        "kdtree_maxLeafSize", "kdtree_maxDepth", "kdtree_bbox_min",
+        "kdtree_bbox_max", "kdtree_depth", "kdtree_vertCount",
+        "kdtree_isLeaf", "kdtree_quadTreeRootIndex",
+        "kdtree_child_left_index", "kdtree_child_right_index",
+        "quadtree_maxDepth", "quadtree_isStoreNEERadiance",
+        "quadtree_rootNodeIndex", "quadtree_bbox_min", "quadtree_bbox_max",
+        "quadtree_depth", "quadtree_irradiance", "quadtree_isLeaf",
+        "quadtree_refinementThreshold", "quadtree_child_1_index",
+        "quadtree_child_2_index", "quadtree_child_3_index",
+        "quadtree_child_4_index",
+    }
+    assert set(z.files) == expected_keys
+    t2 = sd.SDTree.load(path)
+    assert t2.kd_count == t.kd_count
+    assert t2.q_count == t.q_count
+    assert np.allclose(t2.q_irr[: t.q_count], t.q_irr[: t.q_count], rtol=1e-5)
+    assert np.array_equal(t2.q_child[: t.q_count], t.q_child[: t.q_count])
+    # device lookups agree
+    dev1 = t.to_device()
+    dev2 = t2.to_device()
+    p = jnp.asarray(np.random.default_rng(4).random((1000, 3)), jnp.float32)
+    l1, r1 = sd.kd_lookup(dev1, p)
+    l2, r2 = sd.kd_lookup(dev2, p)
+    assert np.array_equal(np.asarray(r1), np.asarray(r2))
