@@ -19,6 +19,13 @@ from ..core.records import Intersection
 TRI_BLOCK = 128
 
 
+def _use_pallas() -> bool:
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
 def _intersect_tri_block(o, d, v0, e1, e2):
     """Moller-Trumbore: rays (N,3) x tri block (B,3) -> t, u, v, valid (N,B)."""
     # pvec = d x e2 : (N, B, 3)
@@ -116,7 +123,17 @@ def intersect(scene, o, d, t_near=None, t_far=None) -> Intersection:
         t_near = jnp.full((n,), 1e-4)
     if t_far is None:
         t_far = jnp.full((n,), jnp.inf)
-    tt, ti, tu, tv = _scan_triangles(o, d, scene.tris, t_near, t_far)
+    if _use_pallas() and "soa" in scene.tris:
+        from ..ops.pallas.intersect import pallas_closest_hit
+
+        tt, ti, tu, tv = pallas_closest_hit(
+            scene.tris["soa"], o, d, t_near,
+            jnp.where(jnp.isfinite(t_far), t_far, 1e30),
+            int(scene.tris["soa"].shape[0]),
+        )
+        tt = jnp.where(ti >= 0, tt, jnp.inf)
+    else:
+        tt, ti, tu, tv = _scan_triangles(o, d, scene.tris, t_near, t_far)
     st, si = _intersect_spheres(o, d, scene.spheres, t_near, t_far)
 
     sphere_closer = st < tt
@@ -201,6 +218,15 @@ def occluded(scene, o, d, t_max) -> jnp.ndarray:
     n = o.shape[0]
     t_near = jnp.full((n,), 1e-4)
     t_far = t_max * (1.0 - 1e-3)
-    hit_tri = _scan_triangles(o, d, scene.tris, t_near, t_far, any_hit=True)
+    if _use_pallas() and "soa" in scene.tris:
+        from ..ops.pallas.intersect import pallas_any_hit
+
+        hit_tri = pallas_any_hit(
+            scene.tris["soa"], o, d, t_near,
+            jnp.where(jnp.isfinite(t_far), t_far, 1e30),
+            int(scene.tris["soa"].shape[0]),
+        )
+    else:
+        hit_tri = _scan_triangles(o, d, scene.tris, t_near, t_far, any_hit=True)
     _, si = _intersect_spheres(o, d, scene.spheres, t_near, t_far)
     return hit_tri | (si >= 0)

@@ -76,10 +76,13 @@ def kd_lookup(tree: SDTreeDevice, p):
 
 
 def _quadrant(px, py, mx, my):
+    """Child index of a point: 0=(x>=m,y>=m) 1=(x<m,y>=m) 2=(x<m,y<m)
+    3=(x>=m,y<m) — must match the bbox-update tables below and the
+    reference's quadrant order (quadtree.py:150-186)."""
     right = px >= mx
     top = py >= my
     return jnp.where(
-        top, jnp.where(right, 0, 1), jnp.where(right, 2, 3)
+        top, jnp.where(right, 0, 1), jnp.where(right, 3, 2)
     ).astype(jnp.int32)
 
 

@@ -165,6 +165,10 @@ def compile_scene(desc: SceneDesc) -> Scene:
     tris["v0b"] = tris["v0"].reshape(nb, TRI_BLOCK, 3)
     tris["e1b"] = tris["e1"].reshape(nb, TRI_BLOCK, 3)
     tris["e2b"] = tris["e2"].reshape(nb, TRI_BLOCK, 3)
+    # SoA layout for the Pallas kernels (ops/pallas/intersect.py)
+    from ..ops.pallas.intersect import build_tri_soa
+
+    tris["soa"] = build_tri_soa(tris_np["v0"], tris_np["v1"], tris_np["v2"])
 
     # scene bbox over real geometry
     pts = [tris_np["v0"], tris_np["v1"], tris_np["v2"]]

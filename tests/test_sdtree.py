@@ -91,7 +91,13 @@ def test_quad_sample_pdf_consistency():
     t.kd_threshold = 5000.0
     t.set_refinement_threshold(0)
     t.refine()
-    t.q_irr[: t.q_count] += 0  # noop
+    # re-splat so child irradiances are ASYMMETRIC (a once-refined tree has
+    # uniform children = parent/4, which hides quadrant-convention bugs)
+    t.reset_counters()
+    _splat_random(t, n=50000, seed=11)
+    t.refine()
+    t.reset_counters()
+    _splat_random(t, n=50000, seed=13)
     dev = t.to_device()
     rng = np.random.default_rng(3)
     m = 20000
