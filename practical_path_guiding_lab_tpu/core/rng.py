@@ -1,15 +1,16 @@
 """Counter-based random numbers for the wavefront renderer.
 
 The reference uses Mitsuba's stateful ``independent`` sampler with
-``seed = seed0 + cumulative_spp`` per pass (main.py:218). On TPU we use
-stateless threefry keys derived from (seed0, pass_index, purpose) and draw
-per-lane numbers with ``jax.random`` over the whole wavefront at once; this
-is deterministic, replay-able, and shard-friendly (each device slices the
-same logical lane space).
+``seed = seed0 + cumulative_spp`` per pass (main.py:218). Here randomness is
+a pure function of (seed0, pass_index, bounce, purpose, lane_id): a
+Threefry-2x32 block cipher over per-lane counters. This makes every draw
+*shard-invariant* — a device rendering lanes [k, k+m) produces exactly the
+numbers the full wavefront would, so single-chip and sharded renders are
+bit-identical and devices are never correlated.
 """
 from __future__ import annotations
 
-import jax
+import numpy as np
 import jax.numpy as jnp
 
 
@@ -27,20 +28,59 @@ class PurposeId:
     LOBE = 8
 
 
-def pass_key(seed0: int, pass_index) -> jax.Array:
-    """Key for one render pass (reference: seed0 + cumm_spp, main.py:218)."""
-    return jax.random.fold_in(jax.random.PRNGKey(seed0), pass_index)
+_ROT = (13, 15, 26, 6, 17, 29, 16, 24)
 
 
-def stream(key: jax.Array, bounce, purpose: int) -> jax.Array:
-    """Sub-key for a (bounce, purpose) draw within a pass."""
-    return jax.random.fold_in(key, bounce * 16 + purpose)
+def _rotl(x, r):
+    return (x << np.uint32(r)) | (x >> np.uint32(32 - r))
 
 
-def uniform(key: jax.Array, shape, lo=0.0, hi=1.0) -> jax.Array:
-    return jax.random.uniform(key, shape, jnp.float32, lo, hi)
+def threefry2x32(k0, k1, x0, x1):
+    """Threefry-2x32 (20 rounds). Inputs/outputs uint32 arrays."""
+    k0 = jnp.asarray(k0, jnp.uint32)
+    k1 = jnp.asarray(k1, jnp.uint32)
+    x0 = jnp.asarray(x0, jnp.uint32)
+    x1 = jnp.asarray(x1, jnp.uint32)
+    ks2 = k0 ^ k1 ^ np.uint32(0x1BD11BDA)
+    ks = (k0, k1, ks2)
+    x0 = x0 + ks[0]
+    x1 = x1 + ks[1]
+    for block in range(5):
+        for r in range(4):
+            x0 = x0 + x1
+            x1 = _rotl(x1, _ROT[(block % 2) * 4 + r])
+            x1 = x1 ^ x0
+        inj = block + 1
+        x0 = x0 + ks[inj % 3]
+        x1 = x1 + ks[(inj + 1) % 3] + np.uint32(inj)
+    return x0, x1
 
 
-def uniform2(key: jax.Array, shape):
-    u = jax.random.uniform(key, shape + (2,), jnp.float32)
-    return u[..., 0], u[..., 1]
+def _to_unit(bits):
+    """uint32 -> float32 in [0, 1)."""
+    return (bits >> np.uint32(8)).astype(jnp.float32) * np.float32(1.0 / (1 << 24))
+
+
+def stream_key(seed0, pass_index, bounce, purpose):
+    """Scalar (k0, k1) key for one (pass, bounce, purpose) stream."""
+    k0 = jnp.asarray(seed0, jnp.uint32) ^ np.uint32(0x9E3779B9)
+    k1 = jnp.asarray(pass_index, jnp.uint32)
+    a, b = threefry2x32(k0, k1, jnp.uint32(bounce), jnp.uint32(purpose))
+    return a, b
+
+
+def uniform1(skey, lane_ids):
+    """One uniform per lane. lane_ids: int32/uint32 array (global ids)."""
+    a, _ = threefry2x32(skey[0], skey[1], lane_ids.astype(jnp.uint32), jnp.uint32(0))
+    return _to_unit(a)
+
+
+def uniform2(skey, lane_ids):
+    a, b = threefry2x32(skey[0], skey[1], lane_ids.astype(jnp.uint32), jnp.uint32(0))
+    return _to_unit(a), _to_unit(b)
+
+
+def uniform3(skey, lane_ids):
+    a, b = threefry2x32(skey[0], skey[1], lane_ids.astype(jnp.uint32), jnp.uint32(0))
+    c, _ = threefry2x32(skey[0], skey[1], lane_ids.astype(jnp.uint32), jnp.uint32(1))
+    return _to_unit(a), _to_unit(b), _to_unit(c)

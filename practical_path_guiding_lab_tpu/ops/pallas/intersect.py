@@ -97,7 +97,8 @@ def _any_hit_kernel(tri_ref, ox, oy, oz, dx, dy, dz, tn, tf, hit_out,
     d_x, d_y, d_z = dx[:], dy[:], dz[:]
     t_near = tn[:]
     t_far = tf[:]
-    hit = jnp.zeros(o_x.shape, jnp.bool_)
+    # carry as float32 — Mosaic mis-lowers i1 vector loop carries
+    hit = jnp.zeros(o_x.shape, jnp.float32)
     n_blocks = -(-n_tris // TRI_SUB)
 
     def body(b, hit):
@@ -109,11 +110,12 @@ def _any_hit_kernel(tri_ref, ox, oy, oz, dx, dy, dz, tn, tf, hit_out,
                 blk[j, 6], blk[j, 7], blk[j, 8],
                 o_x, o_y, o_z, d_x, d_y, d_z,
             )
-            hit = hit | (ok & (tt > t_near) & (tt < t_far))
+            ok = ok & (tt > t_near) & (tt < t_far)
+            hit = jnp.maximum(hit, ok.astype(jnp.float32))
         return hit
 
     hit = jax.lax.fori_loop(0, n_blocks, body, hit)
-    hit_out[:] = hit
+    hit_out[:] = hit > 0.0
 
 
 def _plan(n):

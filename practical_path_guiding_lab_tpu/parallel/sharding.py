@@ -39,7 +39,6 @@ def render_pass_sharded(scene, mesh: Mesh, seed0: int, pass_index: int):
     w, h = scene.camera.width, scene.camera.height
     n_dev = mesh.devices.size
     assert h % n_dev == 0, f"film height {h} must divide over {n_dev} devices"
-    key = rng.pass_key(seed0, pass_index)
 
     yy, xx = jnp.meshgrid(
         jnp.arange(h, dtype=jnp.float32),
@@ -48,22 +47,24 @@ def render_pass_sharded(scene, mesh: Mesh, seed0: int, pass_index: int):
     )
     px = xx.reshape(-1)
     py = yy.reshape(-1)
-    k = rng.stream(key, 0, rng.PurposeId.CAMERA)
-    u1, u2 = rng.uniform2(k, (w * h,))
+    lane_ids = jnp.arange(w * h, dtype=jnp.int32)
+    u1, u2 = rng.uniform2(
+        rng.stream_key(seed0, pass_index, 0, rng.PurposeId.CAMERA), lane_ids
+    )
     px = px + u1
     py = py + u2
 
-    def shard_fn(px_s, py_s):
-        L, rays = render_wavefront(scene, key, px_s.shape[0], px_s, py_s)
+    def shard_fn(lane_s, px_s, py_s):
+        L, rays = render_wavefront(scene, seed0, pass_index, lane_s, px_s, py_s)
         rays = jax.lax.psum(rays, "dp")
         return L, rays
 
     fn = jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P("dp"), P("dp")),
+        in_specs=(P("dp"), P("dp"), P("dp")),
         out_specs=(P("dp"), P()),
         check_vma=False,
     )
-    L, rays = fn(px, py)
+    L, rays = fn(lane_ids, px, py)
     return L, px, py, rays

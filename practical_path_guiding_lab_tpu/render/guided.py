@@ -32,8 +32,9 @@ from ..scene.camera import generate_rays
 def render_guided_wavefront(
     scene,
     tree_prev: sd.SDTreeDevice,
-    key,
-    n_rays,
+    seed0,
+    pass_index,
+    lane_ids,
     px,
     py,
     iteration,
@@ -41,6 +42,7 @@ def render_guided_wavefront(
     bsdf_fraction: float = 0.5,
 ):
     """Trace one guided wavefront. Returns (L, rays_cast, records | None)."""
+    n_rays = px.shape[0]
     sx = px / scene.camera.width
     sy = py / scene.camera.height
     ray = generate_rays(scene.camera, sx, sy)
@@ -105,10 +107,14 @@ def render_guided_wavefront(
         kd_leaf, q_root = sd.kd_lookup(tree_prev, si.p)
 
         # --- NEE with guided-aware MIS ---
-        k_sel = rng.stream(key, depth, rng.PurposeId.NEE_SELECT)
-        k_pos = rng.stream(key, depth, rng.PurposeId.NEE_POS)
-        u_sel = rng.uniform(k_sel, (n_rays,))
-        u1, u2 = rng.uniform2(k_pos, (n_rays,))
+        u_sel = rng.uniform1(
+            rng.stream_key(seed0, pass_index, depth, rng.PurposeId.NEE_SELECT),
+            lane_ids,
+        )
+        u1, u2 = rng.uniform2(
+            rng.stream_key(seed0, pass_index, depth, rng.PurposeId.NEE_POS),
+            lane_ids,
+        )
         nee = em_mod.sample_nee(em, scene.tris, si.p, u_sel, u1, u2)
         f_nee, pdf_bsdf_nee = bsdf_mod.eval_pdf(ctx, si.wi_world, nee["wo"])
         smooth_frac = bsdf_mod.smooth_fraction(ctx, si.wi_world)
@@ -142,14 +148,20 @@ def render_guided_wavefront(
         L = L + Lr_dir
 
         # --- one-sample-MIS direction: BSDF vs SD-tree (:272-311) ---
-        k_b = rng.stream(key, depth, rng.PurposeId.BSDF_SAMPLE)
-        ub = rng.uniform(k_b, (n_rays, 3))
-        bs = bsdf_mod.sample(ctx, si.wi_world, ub[:, 0], ub[:, 1], ub[:, 2])
+        ub0, ub1, ub2 = rng.uniform3(
+            rng.stream_key(seed0, pass_index, depth, rng.PurposeId.BSDF_SAMPLE),
+            lane_ids,
+        )
+        bs = bsdf_mod.sample(ctx, si.wi_world, ub0, ub1, ub2)
 
-        k_g = rng.stream(key, depth, rng.PurposeId.GUIDE_SELECT)
-        u_guide = rng.uniform(k_g, (n_rays,))
-        k_gd = rng.stream(key, depth, rng.PurposeId.GUIDE_DIR)
-        g1, g2 = rng.uniform2(k_gd, (n_rays,))
+        u_guide = rng.uniform1(
+            rng.stream_key(seed0, pass_index, depth, rng.PurposeId.GUIDE_SELECT),
+            lane_ids,
+        )
+        g1, g2 = rng.uniform2(
+            rng.stream_key(seed0, pass_index, depth, rng.PurposeId.GUIDE_DIR),
+            lane_ids,
+        )
 
         do_mix = use_guiding & ~bs["delta"]  # :283,286
         take_tree = do_mix & (u_guide >= bsdf_fraction)
@@ -217,8 +229,9 @@ def render_guided_wavefront(
         tp_new = tp * bsdf_weight
         alive = hit & valid_dir & (jnp.max(tp_new, axis=-1) > 0)
         eta_scale = s["eta_scale"] * bs["eta"] ** 2
-        k_rr = rng.stream(key, depth, rng.PurposeId.RR)
-        u_rr = rng.uniform(k_rr, (n_rays,))
+        u_rr = rng.uniform1(
+            rng.stream_key(seed0, pass_index, depth, rng.PurposeId.RR), lane_ids
+        )
         q = jnp.minimum(jnp.max(tp_new, axis=-1) * eta_scale, 0.95)
         do_rr = depth >= scene.rr_depth
         survive = jnp.where(do_rr, u_rr < q, jnp.ones(n_rays, bool))
@@ -292,7 +305,6 @@ def render_guided_pass(
     """One full guided 1-spp pass: trace + (train only) splat.
 
     Returns (L (N,3), px, py, rays_cast, updated current tree)."""
-    key = rng.pass_key(seed0, pass_index)
     w, h = scene.camera.width, scene.camera.height
     n = w * h
     yy, xx = jnp.meshgrid(
@@ -300,13 +312,15 @@ def render_guided_pass(
         jnp.arange(w, dtype=jnp.float32),
         indexing="ij",
     )
-    k = rng.stream(key, 0, rng.PurposeId.CAMERA)
-    u1, u2 = rng.uniform2(k, (n,))
+    lane_ids = jnp.arange(n, dtype=jnp.int32)
+    u1, u2 = rng.uniform2(
+        rng.stream_key(seed0, pass_index, 0, rng.PurposeId.CAMERA), lane_ids
+    )
     px = xx.reshape(-1) + u1
     py = yy.reshape(-1) + u2
 
     L, rays, recs = render_guided_wavefront(
-        scene, tree_prev, key, n, px, py, iteration,
+        scene, tree_prev, seed0, pass_index, lane_ids, px, py, iteration,
         record=not is_final, bsdf_fraction=bsdf_fraction,
     )
     if not is_final:

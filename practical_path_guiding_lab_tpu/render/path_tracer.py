@@ -20,11 +20,13 @@ from ..scene import emitters as em_mod
 from ..scene.camera import generate_rays
 
 
-def render_wavefront(scene, key, n_rays, px, py):
+def render_wavefront(scene, seed0, pass_index, lane_ids, px, py):
     """Trace one wavefront of camera samples; returns radiance (N,3).
 
-    px, py: continuous film coordinates in pixels.
+    px, py: continuous film coordinates in pixels; lane_ids: GLOBAL sample
+    ids (shard-invariant randomness).
     """
+    n_rays = px.shape[0]
     sx = px / scene.camera.width
     sy = py / scene.camera.height
     ray = generate_rays(scene.camera, sx, sy)
@@ -48,7 +50,6 @@ def render_wavefront(scene, key, n_rays, px, py):
     def body(s):
         s = dict(s)
         depth = s["depth"]
-        k = rng.stream(key, depth, 0)
 
         si = intersect(scene, s["o"], s["d"])
         active = s["active"]
@@ -83,10 +84,14 @@ def render_wavefront(scene, key, n_rays, px, py):
 
         # --- NEE ---
         ctx = bsdf_mod.make_context(scene, si)
-        k_sel = rng.stream(key, depth, rng.PurposeId.NEE_SELECT)
-        k_pos = rng.stream(key, depth, rng.PurposeId.NEE_POS)
-        u_sel = rng.uniform(k_sel, (n_rays,))
-        u1, u2 = rng.uniform2(k_pos, (n_rays,))
+        u_sel = rng.uniform1(
+            rng.stream_key(seed0, pass_index, depth, rng.PurposeId.NEE_SELECT),
+            lane_ids,
+        )
+        u1, u2 = rng.uniform2(
+            rng.stream_key(seed0, pass_index, depth, rng.PurposeId.NEE_POS),
+            lane_ids,
+        )
         nee = em_mod.sample_nee(em, scene.tris, si.p, u_sel, u1, u2)
         f_nee, pdf_bsdf_nee = bsdf_mod.eval_pdf(ctx, si.wi_world, nee["wo"])
         nee_ok = hit & nee["valid"] & (nee["pdf"] > 0)
@@ -101,17 +106,20 @@ def render_wavefront(scene, key, n_rays, px, py):
         L = L + jnp.where(nee_ok[:, None], nan_to_zero(contrib), 0.0)
 
         # --- BSDF sampling ---
-        k_b = rng.stream(key, depth, rng.PurposeId.BSDF_SAMPLE)
-        ub = rng.uniform(k_b, (n_rays, 3))
-        bs = bsdf_mod.sample(ctx, si.wi_world, ub[:, 0], ub[:, 1], ub[:, 2])
+        ub0, ub1, ub2 = rng.uniform3(
+            rng.stream_key(seed0, pass_index, depth, rng.PurposeId.BSDF_SAMPLE),
+            lane_ids,
+        )
+        bs = bsdf_mod.sample(ctx, si.wi_world, ub0, ub1, ub2)
         tp_new = tp * bs["weight"]
         alive = hit & bs["valid"] & (jnp.max(tp_new, axis=-1) > 0)
 
         # --- Russian roulette (reference: depth >= rr_depth, p <= 0.95,
         #     eta^2 correction; path_guiding_integrator.py:367-381) ---
         eta_scale = s["eta_scale"] * bs["eta"] ** 2
-        k_rr = rng.stream(key, depth, rng.PurposeId.RR)
-        u_rr = rng.uniform(k_rr, (n_rays,))
+        u_rr = rng.uniform1(
+            rng.stream_key(seed0, pass_index, depth, rng.PurposeId.RR), lane_ids
+        )
         q = jnp.minimum(jnp.max(tp_new, axis=-1) * eta_scale, 0.95)
         do_rr = depth >= scene.rr_depth  # scalar (loop counter)
         survive = jnp.where(do_rr, u_rr < q, jnp.ones(n_rays, bool))
@@ -137,7 +145,6 @@ def render_pass(scene, seed0, pass_index, jitter=True):
     """Render one 1-spp pass over the full film; returns per-sample
     radiance (H*W, 3) plus film coordinates (reference renders training
     iterations 1 spp per pass, main.py:192)."""
-    key = rng.pass_key(seed0, pass_index)
     w, h = scene.camera.width, scene.camera.height
     n = w * h
     yy, xx = jnp.meshgrid(
@@ -147,13 +154,15 @@ def render_pass(scene, seed0, pass_index, jitter=True):
     )
     px = xx.reshape(-1)
     py = yy.reshape(-1)
+    lane_ids = jnp.arange(n, dtype=jnp.int32)
     if jitter:
-        k = rng.stream(key, 0, rng.PurposeId.CAMERA)
-        u1, u2 = rng.uniform2(k, (n,))
+        u1, u2 = rng.uniform2(
+            rng.stream_key(seed0, pass_index, 0, rng.PurposeId.CAMERA), lane_ids
+        )
         px = px + u1
         py = py + u2
     else:
         px = px + 0.5
         py = py + 0.5
-    L, rays_cast = render_wavefront(scene, key, n, px, py)
+    L, rays_cast = render_wavefront(scene, seed0, pass_index, lane_ids, px, py)
     return L, px, py, rays_cast

@@ -1,13 +1,5 @@
-"""Test configuration: force the CPU backend with 8 virtual devices so
-sharding tests run anywhere (the judge's multi-chip dry-run does the same).
-Must run before jax imports."""
-import os
-
-os.environ["PALLAS_AXON_POOL_IPS"] = ""  # disable axon TPU registration
-os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
-)
+"""Test fixtures. Backend forcing (CPU + 8 virtual devices) happens in the
+ROOT conftest.py via re-exec — see /root/repo/conftest.py."""
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
