@@ -1,12 +1,16 @@
 """Counter-based random numbers for the wavefront renderer.
 
 The reference uses Mitsuba's stateful ``independent`` sampler with
-``seed = seed0 + cumulative_spp`` per pass (main.py:218). Here randomness is
-a pure function of (seed0, pass_index, bounce, purpose, lane_id): a
-Threefry-2x32 block cipher over per-lane counters. This makes every draw
-*shard-invariant* — a device rendering lanes [k, k+m) produces exactly the
-numbers the full wavefront would, so single-chip and sharded renders are
-bit-identical and devices are never correlated.
+``seed = seed0 + cumulative_spp`` per pass (main.py:218). Here every draw is
+a pure function of (seed0, pass_index, bounce, purpose, lane_id): one
+Threefry-2x32 block with key (seed0, pass_index) over the counter
+(lane_id, stream_id). This makes draws *shard-invariant* — a device
+rendering lanes [k, k+m) produces exactly the numbers the full wavefront
+would — and single-chip vs sharded renders are bit-identical.
+
+Implementation note: everything is kept in vector registers; the axon TPU
+compiler hangs on long *scalar* uint32 dependency chains feeding vector
+ops, so counters are broadcast to lane shape before the cipher runs.
 """
 from __future__ import annotations
 
@@ -26,6 +30,8 @@ class PurposeId:
     RR = 6
     FILTER = 7
     LOBE = 8
+
+    COUNT = 16  # reserved slots per bounce
 
 
 _ROT = (13, 15, 26, 6, 17, 29, 16, 24)
@@ -61,26 +67,32 @@ def _to_unit(bits):
     return (bits >> np.uint32(8)).astype(jnp.float32) * np.float32(1.0 / (1 << 24))
 
 
-def stream_key(seed0, pass_index, bounce, purpose):
-    """Scalar (k0, k1) key for one (pass, bounce, purpose) stream."""
-    k0 = jnp.asarray(seed0, jnp.uint32) ^ np.uint32(0x9E3779B9)
+def _draw(seed0, pass_index, bounce, purpose, lane_ids, slot):
+    """One threefry block -> two uint32 words per lane. All vector ops."""
+    lanes = lane_ids.astype(jnp.uint32)
+    stream = (
+        jnp.asarray(bounce, jnp.uint32) * np.uint32(PurposeId.COUNT * 4)
+        + np.uint32(purpose * 4)
+        + np.uint32(slot)
+    )
+    # broadcast the stream id to lane shape so no scalar u32 chain forms
+    x1 = jnp.broadcast_to(stream, lanes.shape) ^ (lanes * np.uint32(0x9E3779B9))
+    k0 = jnp.asarray(seed0, jnp.uint32) ^ np.uint32(0x85EBCA6B)
     k1 = jnp.asarray(pass_index, jnp.uint32)
-    a, b = threefry2x32(k0, k1, jnp.uint32(bounce), jnp.uint32(purpose))
-    return a, b
+    return threefry2x32(k0, k1, lanes, x1)
 
 
-def uniform1(skey, lane_ids):
-    """One uniform per lane. lane_ids: int32/uint32 array (global ids)."""
-    a, _ = threefry2x32(skey[0], skey[1], lane_ids.astype(jnp.uint32), jnp.uint32(0))
+def uniform1(seed0, pass_index, bounce, purpose, lane_ids):
+    a, _ = _draw(seed0, pass_index, bounce, purpose, lane_ids, 0)
     return _to_unit(a)
 
 
-def uniform2(skey, lane_ids):
-    a, b = threefry2x32(skey[0], skey[1], lane_ids.astype(jnp.uint32), jnp.uint32(0))
+def uniform2(seed0, pass_index, bounce, purpose, lane_ids):
+    a, b = _draw(seed0, pass_index, bounce, purpose, lane_ids, 0)
     return _to_unit(a), _to_unit(b)
 
 
-def uniform3(skey, lane_ids):
-    a, b = threefry2x32(skey[0], skey[1], lane_ids.astype(jnp.uint32), jnp.uint32(0))
-    c, _ = threefry2x32(skey[0], skey[1], lane_ids.astype(jnp.uint32), jnp.uint32(1))
+def uniform3(seed0, pass_index, bounce, purpose, lane_ids):
+    a, b = _draw(seed0, pass_index, bounce, purpose, lane_ids, 0)
+    c, _ = _draw(seed0, pass_index, bounce, purpose, lane_ids, 1)
     return _to_unit(a), _to_unit(b), _to_unit(c)

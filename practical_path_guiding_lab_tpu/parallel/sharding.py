@@ -48,9 +48,7 @@ def render_pass_sharded(scene, mesh: Mesh, seed0: int, pass_index: int):
     px = xx.reshape(-1)
     py = yy.reshape(-1)
     lane_ids = jnp.arange(w * h, dtype=jnp.int32)
-    u1, u2 = rng.uniform2(
-        rng.stream_key(seed0, pass_index, 0, rng.PurposeId.CAMERA), lane_ids
-    )
+    u1, u2 = rng.uniform2(seed0, pass_index, 0, rng.PurposeId.CAMERA, lane_ids)
     px = px + u1
     py = py + u2
 

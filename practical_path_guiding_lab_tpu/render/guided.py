@@ -29,28 +29,11 @@ from ..scene import emitters as em_mod
 from ..scene.camera import generate_rays
 
 
-def render_guided_wavefront(
-    scene,
-    tree_prev: sd.SDTreeDevice,
-    seed0,
-    pass_index,
-    lane_ids,
-    px,
-    py,
-    iteration,
-    record: bool,
-    bsdf_fraction: float = 0.5,
-):
-    """Trace one guided wavefront. Returns (L, rays_cast, records | None)."""
+def _init_state(scene, px, py, record: bool):
     n_rays = px.shape[0]
     sx = px / scene.camera.width
     sy = py / scene.camera.height
     ray = generate_rays(scene.camera, sx, sy)
-    max_depth = scene.max_depth
-    use_guiding = iteration > 1  # reference :223,283 — traced scalar is fine
-
-    recs = PathRecords.zeros(n_rays, max_depth) if record else None
-
     state = {
         "o": ray.o,
         "d": ray.d,
@@ -64,12 +47,18 @@ def render_guided_wavefront(
         "rays_cast": jnp.float32(0.0),
     }
     if record:
-        state["recs"] = recs
+        state["recs"] = PathRecords.zeros(n_rays, scene.max_depth)
+    return state
 
-    def cond(s):
-        return (s["depth"] < max_depth) & jnp.any(s["active"])
 
-    def body(s):
+def _bounce_body(scene, tree_prev, seed0, pass_index, iteration,
+                 bsdf_fraction, lane_ids, s):
+    """One guided bounce; pure function of the state dict. Recording is on
+    iff the state carries a 'recs' entry (structural, so one jit each)."""
+    n_rays = lane_ids.shape[0]
+    record = "recs" in s
+    use_guiding = iteration > 1  # reference :223,283 — traced scalar is fine
+    if True:
         s = dict(s)
         depth = s["depth"]
 
@@ -107,14 +96,8 @@ def render_guided_wavefront(
         kd_leaf, q_root = sd.kd_lookup(tree_prev, si.p)
 
         # --- NEE with guided-aware MIS ---
-        u_sel = rng.uniform1(
-            rng.stream_key(seed0, pass_index, depth, rng.PurposeId.NEE_SELECT),
-            lane_ids,
-        )
-        u1, u2 = rng.uniform2(
-            rng.stream_key(seed0, pass_index, depth, rng.PurposeId.NEE_POS),
-            lane_ids,
-        )
+        u_sel = rng.uniform1(seed0, pass_index, depth, rng.PurposeId.NEE_SELECT, lane_ids)
+        u1, u2 = rng.uniform2(seed0, pass_index, depth, rng.PurposeId.NEE_POS, lane_ids)
         nee = em_mod.sample_nee(em, scene.tris, si.p, u_sel, u1, u2)
         f_nee, pdf_bsdf_nee = bsdf_mod.eval_pdf(ctx, si.wi_world, nee["wo"])
         smooth_frac = bsdf_mod.smooth_fraction(ctx, si.wi_world)
@@ -148,20 +131,11 @@ def render_guided_wavefront(
         L = L + Lr_dir
 
         # --- one-sample-MIS direction: BSDF vs SD-tree (:272-311) ---
-        ub0, ub1, ub2 = rng.uniform3(
-            rng.stream_key(seed0, pass_index, depth, rng.PurposeId.BSDF_SAMPLE),
-            lane_ids,
-        )
+        ub0, ub1, ub2 = rng.uniform3(seed0, pass_index, depth, rng.PurposeId.BSDF_SAMPLE, lane_ids)
         bs = bsdf_mod.sample(ctx, si.wi_world, ub0, ub1, ub2)
 
-        u_guide = rng.uniform1(
-            rng.stream_key(seed0, pass_index, depth, rng.PurposeId.GUIDE_SELECT),
-            lane_ids,
-        )
-        g1, g2 = rng.uniform2(
-            rng.stream_key(seed0, pass_index, depth, rng.PurposeId.GUIDE_DIR),
-            lane_ids,
-        )
+        u_guide = rng.uniform1(seed0, pass_index, depth, rng.PurposeId.GUIDE_SELECT, lane_ids)
+        g1, g2 = rng.uniform2(seed0, pass_index, depth, rng.PurposeId.GUIDE_DIR, lane_ids)
 
         do_mix = use_guiding & ~bs["delta"]  # :283,286
         take_tree = do_mix & (u_guide >= bsdf_fraction)
@@ -229,9 +203,7 @@ def render_guided_wavefront(
         tp_new = tp * bsdf_weight
         alive = hit & valid_dir & (jnp.max(tp_new, axis=-1) > 0)
         eta_scale = s["eta_scale"] * bs["eta"] ** 2
-        u_rr = rng.uniform1(
-            rng.stream_key(seed0, pass_index, depth, rng.PurposeId.RR), lane_ids
-        )
+        u_rr = rng.uniform1(seed0, pass_index, depth, rng.PurposeId.RR, lane_ids)
         q = jnp.minimum(jnp.max(tp_new, axis=-1) * eta_scale, 0.95)
         do_rr = depth >= scene.rr_depth
         survive = jnp.where(do_rr, u_rr < q, jnp.ones(n_rays, bool))
@@ -249,9 +221,52 @@ def render_guided_wavefront(
         s["depth"] = depth + 1
         return s
 
+
+_bounce_step = jax.jit(_bounce_body, static_argnames=("bsdf_fraction",))
+
+
+def render_guided_wavefront(
+    scene, tree_prev, seed0, pass_index, lane_ids, px, py, iteration,
+    record: bool, bsdf_fraction: float = 0.5,
+):
+    """Single-jit guided wavefront (lax.while_loop) — CPU / shard_map path."""
+    state = _init_state(scene, px, py, record)
+    max_depth = scene.max_depth
+
+    def cond(s):
+        return (s["depth"] < max_depth) & jnp.any(s["active"])
+
+    def body(s):
+        return _bounce_body(
+            scene, tree_prev, seed0, pass_index, iteration, bsdf_fraction,
+            lane_ids, s,
+        )
+
     final = jax.lax.while_loop(cond, body, state)
     L = nan_to_zero(final["L"])
     return L, final["rays_cast"], (final["recs"] if record else None)
+
+
+_init_jit = jax.jit(_init_state, static_argnames=("record",))
+
+
+def render_guided_wavefront_stepped(
+    scene, tree_prev, seed0, pass_index, lane_ids, px, py, iteration,
+    record: bool, bsdf_fraction: float = 0.5,
+):
+    """Host-stepped guided wavefront: one jitted bounce per dispatch (the
+    axon backend compiles Pallas-in-while_loop pathologically slowly)."""
+    state = _init_jit(scene, px, py, record)
+    for depth in range(scene.max_depth):
+        state = _bounce_step(
+            scene, tree_prev, seed0, pass_index, iteration, bsdf_fraction,
+            lane_ids, state,
+        )
+        if depth >= 8 and depth % 4 == 0:
+            if not bool(jnp.any(state["active"])):
+                break
+    L = nan_to_zero(state["L"])
+    return L, state["rays_cast"], (state["recs"] if record else None)
 
 
 def process_and_splat(tree_current: sd.SDTreeDevice, recs: PathRecords, L_final):
@@ -313,9 +328,7 @@ def render_guided_pass(
         indexing="ij",
     )
     lane_ids = jnp.arange(n, dtype=jnp.int32)
-    u1, u2 = rng.uniform2(
-        rng.stream_key(seed0, pass_index, 0, rng.PurposeId.CAMERA), lane_ids
-    )
+    u1, u2 = rng.uniform2(seed0, pass_index, 0, rng.PurposeId.CAMERA, lane_ids)
     px = xx.reshape(-1) + u1
     py = yy.reshape(-1) + u2
 
@@ -325,4 +338,49 @@ def render_guided_pass(
     )
     if not is_final:
         tree_current = process_and_splat(tree_current, recs, L)
+    return L, px, py, rays, tree_current
+
+
+_splat_jit = jax.jit(process_and_splat, donate_argnums=(0,))
+
+
+def _film_samples(scene, seed0, pass_index):
+    w, h = scene.camera.width, scene.camera.height
+    n = w * h
+    yy, xx = jnp.meshgrid(
+        jnp.arange(h, dtype=jnp.float32),
+        jnp.arange(w, dtype=jnp.float32),
+        indexing="ij",
+    )
+    lane_ids = jnp.arange(n, dtype=jnp.int32)
+    u1, u2 = rng.uniform2(
+        seed0, pass_index, 0, rng.PurposeId.CAMERA, lane_ids
+    )
+    px = xx.reshape(-1) + u1
+    py = yy.reshape(-1) + u2
+    return lane_ids, px, py
+
+
+_film_samples_jit = jax.jit(_film_samples)
+
+
+def render_guided_pass_stepped(
+    scene,
+    tree_prev,
+    tree_current,
+    seed0,
+    pass_index,
+    iteration,
+    is_final: bool,
+    bsdf_fraction: float = 0.5,
+):
+    """Host-stepped full guided pass (TPU path): jitted film-sample
+    prologue, one jitted bounce per dispatch, jitted splat epilogue."""
+    lane_ids, px, py = _film_samples_jit(scene, seed0, pass_index)
+    L, rays, recs = render_guided_wavefront_stepped(
+        scene, tree_prev, seed0, pass_index, lane_ids, px, py, iteration,
+        record=not is_final, bsdf_fraction=bsdf_fraction,
+    )
+    if not is_final:
+        tree_current = _splat_jit(tree_current, recs, L)
     return L, px, py, rays, tree_current

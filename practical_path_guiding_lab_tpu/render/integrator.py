@@ -14,8 +14,30 @@ import jax.numpy as jnp
 
 from ..guiding.sdtree import SDTree
 from . import variance as var_mod
-from .guided import render_guided_pass
+from .guided import render_guided_pass, render_guided_pass_stepped
+from .path_tracer import _film_prologue
 from .path_tracer import render_pass as pt_render_pass
+from .path_tracer import render_wavefront_stepped
+
+
+_FILM_JIT = None
+
+
+def _film_jit():
+    global _FILM_JIT
+    if _FILM_JIT is None:
+        _FILM_JIT = jax.jit(_film_prologue)
+    return _FILM_JIT
+
+
+def _stepped_backend() -> bool:
+    """Opt-in host-stepped bounce dispatch (one jitted bounce per call).
+    Normally OFF: the fused single-jit pass is faster (no per-dispatch
+    round trips) and compiles in seconds; stepped mode exists as a fallback
+    for backends where big fused programs misbehave (PPG_TPU_STEPPED=1)."""
+    import os
+
+    return os.environ.get("PPG_TPU_STEPPED") == "1"
 
 
 class PathGuidingIntegrator:
@@ -30,6 +52,7 @@ class PathGuidingIntegrator:
         self.tree_prev: SDTree | None = None
         self.tree_current: SDTree | None = None
         self.dev_tree = None
+        self._stepped = _stepped_backend()
         self._jit_pass = jax.jit(
             partial(render_guided_pass, bsdf_fraction=bsdf_sampling_fraction),
             static_argnames=("is_final",),
@@ -79,7 +102,15 @@ class PathGuidingIntegrator:
     def render_pass(self, seed0, cumm_spp):
         """One 1-spp pass; accumulates film moments; returns the box image
         of this pass ((H,W,3) numpy-convertible) and rays cast."""
-        L, px, py, rays, dev = self._jit_pass(
+        pass_fn = (
+            partial(
+                render_guided_pass_stepped,
+                bsdf_fraction=self.bsdf_sampling_fraction,
+            )
+            if self._stepped
+            else self._jit_pass
+        )
+        L, px, py, rays, dev = pass_fn(
             self.scene,
             self.dev_tree,
             self.dev_tree,
@@ -145,6 +176,7 @@ class PathTracingIntegrator:
         n = scene.camera.width * scene.camera.height
         self.sum_l = jnp.zeros((n, 3))
         self.sum_l2 = jnp.zeros((n, 3))
+        self._stepped = _stepped_backend()
         self._jit_pass = jax.jit(pt_render_pass, static_argnames=("jitter",))
 
     def resetVarianceCounter(self):
@@ -152,7 +184,13 @@ class PathTracingIntegrator:
         self.sum_l2 = jnp.zeros_like(self.sum_l2)
 
     def render_pass(self, seed0, pass_index):
-        L, px, py, rays = self._jit_pass(self.scene, seed0, pass_index)
+        if self._stepped:
+            lane_ids, px, py = _film_jit()(self.scene, seed0, pass_index)
+            L, rays = render_wavefront_stepped(
+                self.scene, seed0, pass_index, lane_ids, px, py
+            )
+        else:
+            L, px, py, rays = self._jit_pass(self.scene, seed0, pass_index)
         self.sum_l, self.sum_l2 = var_mod.accumulate_moments(
             self.sum_l, self.sum_l2, L, px, py, self.scene.camera.width
         )

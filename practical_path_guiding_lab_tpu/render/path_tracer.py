@@ -20,18 +20,12 @@ from ..scene import emitters as em_mod
 from ..scene.camera import generate_rays
 
 
-def render_wavefront(scene, seed0, pass_index, lane_ids, px, py):
-    """Trace one wavefront of camera samples; returns radiance (N,3).
-
-    px, py: continuous film coordinates in pixels; lane_ids: GLOBAL sample
-    ids (shard-invariant randomness).
-    """
+def _init_state(scene, px, py):
     n_rays = px.shape[0]
     sx = px / scene.camera.width
     sy = py / scene.camera.height
     ray = generate_rays(scene.camera, sx, sy)
-
-    state = {
+    return {
         "o": ray.o,
         "d": ray.d,
         "throughput": jnp.ones((n_rays, 3)),
@@ -44,10 +38,11 @@ def render_wavefront(scene, seed0, pass_index, lane_ids, px, py):
         "rays_cast": jnp.float32(0.0),  # closest-hit + shadow rays (for Mrays/s)
     }
 
-    def cond(s):
-        return (s["depth"] < scene.max_depth) & jnp.any(s["active"])
 
-    def body(s):
+def _bounce_body(scene, seed0, pass_index, lane_ids, s):
+    """One bounce of the wavefront; pure function of the state dict."""
+    n_rays = lane_ids.shape[0]
+    if True:
         s = dict(s)
         depth = s["depth"]
 
@@ -84,14 +79,8 @@ def render_wavefront(scene, seed0, pass_index, lane_ids, px, py):
 
         # --- NEE ---
         ctx = bsdf_mod.make_context(scene, si)
-        u_sel = rng.uniform1(
-            rng.stream_key(seed0, pass_index, depth, rng.PurposeId.NEE_SELECT),
-            lane_ids,
-        )
-        u1, u2 = rng.uniform2(
-            rng.stream_key(seed0, pass_index, depth, rng.PurposeId.NEE_POS),
-            lane_ids,
-        )
+        u_sel = rng.uniform1(seed0, pass_index, depth, rng.PurposeId.NEE_SELECT, lane_ids)
+        u1, u2 = rng.uniform2(seed0, pass_index, depth, rng.PurposeId.NEE_POS, lane_ids)
         nee = em_mod.sample_nee(em, scene.tris, si.p, u_sel, u1, u2)
         f_nee, pdf_bsdf_nee = bsdf_mod.eval_pdf(ctx, si.wi_world, nee["wo"])
         nee_ok = hit & nee["valid"] & (nee["pdf"] > 0)
@@ -106,10 +95,7 @@ def render_wavefront(scene, seed0, pass_index, lane_ids, px, py):
         L = L + jnp.where(nee_ok[:, None], nan_to_zero(contrib), 0.0)
 
         # --- BSDF sampling ---
-        ub0, ub1, ub2 = rng.uniform3(
-            rng.stream_key(seed0, pass_index, depth, rng.PurposeId.BSDF_SAMPLE),
-            lane_ids,
-        )
+        ub0, ub1, ub2 = rng.uniform3(seed0, pass_index, depth, rng.PurposeId.BSDF_SAMPLE, lane_ids)
         bs = bsdf_mod.sample(ctx, si.wi_world, ub0, ub1, ub2)
         tp_new = tp * bs["weight"]
         alive = hit & bs["valid"] & (jnp.max(tp_new, axis=-1) > 0)
@@ -117,9 +103,7 @@ def render_wavefront(scene, seed0, pass_index, lane_ids, px, py):
         # --- Russian roulette (reference: depth >= rr_depth, p <= 0.95,
         #     eta^2 correction; path_guiding_integrator.py:367-381) ---
         eta_scale = s["eta_scale"] * bs["eta"] ** 2
-        u_rr = rng.uniform1(
-            rng.stream_key(seed0, pass_index, depth, rng.PurposeId.RR), lane_ids
-        )
+        u_rr = rng.uniform1(seed0, pass_index, depth, rng.PurposeId.RR, lane_ids)
         q = jnp.minimum(jnp.max(tp_new, axis=-1) * eta_scale, 0.95)
         do_rr = depth >= scene.rr_depth  # scalar (loop counter)
         survive = jnp.where(do_rr, u_rr < q, jnp.ones(n_rays, bool))
@@ -137,8 +121,47 @@ def render_wavefront(scene, seed0, pass_index, lane_ids, px, py):
         s["depth"] = depth + 1
         return s
 
+
+_bounce_step = jax.jit(_bounce_body)
+
+
+def render_wavefront(scene, seed0, pass_index, lane_ids, px, py):
+    """Trace one wavefront of camera samples; returns radiance (N,3).
+
+    Single fused jit (lax.while_loop over bounces) — used on CPU and inside
+    shard_map.
+    """
+    state = _init_state(scene, px, py)
+
+    def cond(s):
+        return (s["depth"] < scene.max_depth) & jnp.any(s["active"])
+
+    def body(s):
+        return _bounce_body(scene, seed0, pass_index, lane_ids, s)
+
     final = jax.lax.while_loop(cond, body, state)
     return nan_to_zero(final["L"]), final["rays_cast"]
+
+
+_init_jit = None
+
+
+def render_wavefront_stepped(scene, seed0, pass_index, lane_ids, px, py):
+    """Host-stepped variant: one jitted bounce per dispatch. The axon TPU
+    backend compiles Pallas-in-while_loop pathologically slowly (~80s per
+    kernel) and adds ~25x per-iteration overhead; a python loop over a
+    single cached jitted bounce avoids both.
+    """
+    global _init_jit
+    if _init_jit is None:
+        _init_jit = jax.jit(_init_state)
+    state = _init_jit(scene, px, py)
+    for depth in range(scene.max_depth):
+        state = _bounce_step(scene, seed0, pass_index, lane_ids, state)
+        if depth >= 8 and depth % 4 == 0:
+            if not bool(jnp.any(state["active"])):
+                break
+    return nan_to_zero(state["L"]), state["rays_cast"]
 
 
 def render_pass(scene, seed0, pass_index, jitter=True):
@@ -156,9 +179,7 @@ def render_pass(scene, seed0, pass_index, jitter=True):
     py = yy.reshape(-1)
     lane_ids = jnp.arange(n, dtype=jnp.int32)
     if jitter:
-        u1, u2 = rng.uniform2(
-            rng.stream_key(seed0, pass_index, 0, rng.PurposeId.CAMERA), lane_ids
-        )
+        u1, u2 = rng.uniform2(seed0, pass_index, 0, rng.PurposeId.CAMERA, lane_ids)
         px = px + u1
         py = py + u2
     else:
@@ -166,3 +187,20 @@ def render_pass(scene, seed0, pass_index, jitter=True):
         py = py + 0.5
     L, rays_cast = render_wavefront(scene, seed0, pass_index, lane_ids, px, py)
     return L, px, py, rays_cast
+
+
+_film_prologue_jit = None
+
+
+def _film_prologue(scene, seed0, pass_index):
+    """Jittable film-sample generation (jittered pixel positions)."""
+    w, h = scene.camera.width, scene.camera.height
+    n = w * h
+    yy, xx = jnp.meshgrid(
+        jnp.arange(h, dtype=jnp.float32),
+        jnp.arange(w, dtype=jnp.float32),
+        indexing="ij",
+    )
+    lane_ids = jnp.arange(n, dtype=jnp.int32)
+    u1, u2 = rng.uniform2(seed0, pass_index, 0, rng.PurposeId.CAMERA, lane_ids)
+    return lane_ids, xx.reshape(-1) + u1, yy.reshape(-1) + u2
