@@ -56,6 +56,11 @@ class BSDFContext:
     k3: jnp.ndarray     # (N,3)
     eta: jnp.ndarray    # (N,) relative IOR (int/ext), adjusted for side
     ns: jnp.ndarray     # (N,3) shading normal (frame z)
+    # static: BSDF families present in the scene — only these get code
+    used: tuple = struct.field(pytree_node=False, default=())
+
+    def has(self, *kinds) -> bool:
+        return not self.used or any(k in self.used for k in kinds)
 
 
 def make_context(scene, si) -> BSDFContext:
@@ -85,6 +90,7 @@ def make_context(scene, si) -> BSDFContext:
             1.0 / m.eta_ratio[mid],
         ),
         ns=si.ns,
+        used=getattr(scene, "used_kinds", ()),
     )
 
 
@@ -108,127 +114,123 @@ def _fdr(eta):
 
 
 def _eval_pdf_local(ctx: BSDFContext, wi, wo):
-    """(f * cos_o, pdf) of the smooth component, local frame."""
+    """(f * cos_o, pdf) of the smooth component, local frame.
+
+    Only families listed in ``ctx.used`` get code emitted — the rest are
+    skipped statically (smaller programs, faster compiles, less VPU work).
+    """
     cos_i = wi[..., 2]
     cos_o = wo[..., 2]
     n = cos_i.shape
+    k = ctx.kind
 
     refl_up = (cos_o > 1e-6) & (cos_i > 1e-6)
 
-    # diffuse
-    f_diff = ctx.refl * (INV_PI * jnp.maximum(cos_o, 0.0))[..., None]
-    pdf_diff = jnp.maximum(cos_o, 0.0) * INV_PI
+    conds, f_vals, pdf_vals = [], [], []
 
-    # rough conductor (reflection side only)
-    m = normalize(wi + wo)
-    m = jnp.where((m[..., 2] < 0)[..., None], -m, m)
-    d = mf.eval_d(m, ctx.alpha, ctx.ggx)
-    g = mf.smith_g(wi, wo, ctx.alpha, ctx.ggx)
-    f_c = fresnel_conductor(dot(wi, m), ctx.eta3, ctx.k3)
-    denom = jnp.maximum(4.0 * cos_i, 1e-8)
-    f_rc = ctx.spec * f_c * (d * g / denom)[..., None]
-    f_rc = jnp.where(refl_up[..., None], f_rc, 0.0)
-    wim = dot(wi, m)
-    pdf_rc = mf.pdf_m(m, ctx.alpha, ctx.ggx) / jnp.maximum(4.0 * jnp.abs(wim), 1e-8)
-    pdf_rc = jnp.where(refl_up, pdf_rc, 0.0)
+    if ctx.has(BSDF_DIFFUSE):
+        f_diff = ctx.refl * (INV_PI * jnp.maximum(cos_o, 0.0))[..., None]
+        pdf_diff = jnp.maximum(cos_o, 0.0) * INV_PI
+        conds.append(k == BSDF_DIFFUSE)
+        f_vals.append(jnp.where(refl_up[..., None], f_diff, 0.0))
+        pdf_vals.append(jnp.where(refl_up, pdf_diff, 0.0))
 
-    # rough dielectric: reflection + transmission
-    eta = ctx.eta
-    same_side = cos_i * cos_o > 0
-    # reflection half-vector; transmission half-vector
-    m_r = m
-    m_t = normalize(wi + wo * eta[..., None])
-    m_t = jnp.where((m_t[..., 2] < 0)[..., None], -m_t, m_t)
-    f_dr, _, _, _ = fresnel_dielectric(dot(wi, m_r), eta)
-    d_r = mf.eval_d(m_r, ctx.alpha, ctx.ggx)
-    g_r = mf.smith_g(wi, wo, ctx.alpha, ctx.ggx)
-    f_rd_refl = (f_dr * d_r * g_r / jnp.maximum(4.0 * jnp.abs(cos_i), 1e-8))
-    # transmission eval (Walter et al. 2007 eq. 21), radiance transport
-    wim_t = dot(wi, m_t)
-    wom_t = dot(wo, m_t)
-    f_dt, _, _, _ = fresnel_dielectric(wim_t, eta)
-    d_t = mf.eval_d(m_t, ctx.alpha, ctx.ggx)
-    g_t = mf.smith_g(wi, wo, ctx.alpha, ctx.ggx)
-    sqrtdenom = wim_t + eta * wom_t
-    ft = (
-        jnp.abs(wim_t * wom_t)
-        / jnp.maximum(jnp.abs(cos_i * cos_o), 1e-8)
-        * eta
-        * eta
-        * (1.0 - f_dt)
-        * d_t
-        * g_t
-        / jnp.maximum(sqrtdenom * sqrtdenom, 1e-10)
-    ) / jnp.maximum(eta * eta, 1e-8)  # radiance scale 1/eta^2
-    # f_rd_refl already contains the cos_o factor; ft does not.
-    f_rd = jnp.where(same_side, f_rd_refl, jnp.abs(ft) * jnp.abs(cos_o))
-    f_rd = f_rd[..., None] * jnp.ones(3)
-    # pdfs
-    pdf_m_r = mf.pdf_m(m_r, ctx.alpha, ctx.ggx)
-    pdf_m_t = mf.pdf_m(m_t, ctx.alpha, ctx.ggx)
-    jac_r = 1.0 / jnp.maximum(4.0 * jnp.abs(dot(wo, m_r)), 1e-8)
-    jac_t = (
-        eta * eta * jnp.abs(wom_t) / jnp.maximum(sqrtdenom * sqrtdenom, 1e-10)
-    )
-    pdf_rd = jnp.where(
-        same_side, f_dr * pdf_m_r * jac_r, (1.0 - f_dt) * pdf_m_t * jac_t
-    )
+    if ctx.has(BSDF_ROUGH_CONDUCTOR, BSDF_ROUGH_DIELECTRIC):
+        # shared reflection half-vector
+        m = normalize(wi + wo)
+        m = jnp.where((m[..., 2] < 0)[..., None], -m, m)
+        wim = dot(wi, m)
 
-    # plastic: diffuse lobe only (specular is delta)
-    f_i, _, _, _ = fresnel_dielectric(cos_i, ctx.eta)
-    f_o, _, _, _ = fresnel_dielectric(cos_o, ctx.eta)
-    fdr = _fdr(ctx.eta)
-    inv_eta2 = 1.0 / (ctx.eta * ctx.eta)
-    denom_pl = 1.0 - ctx.diff * fdr[..., None]  # nonlinear form
-    f_pl = (
-        ctx.diff
-        * (
-            INV_PI
-            * inv_eta2
-            * jnp.maximum(cos_o, 0.0)
-            * (1.0 - f_i)
-            * (1.0 - f_o)
-        )[..., None]
-        / jnp.maximum(denom_pl, 1e-6)
-    )
-    f_pl = jnp.where(refl_up[..., None], f_pl, 0.0)
-    prob_spec_pl = f_i
-    pdf_pl = (1.0 - prob_spec_pl) * jnp.maximum(cos_o, 0.0) * INV_PI
-    pdf_pl = jnp.where(refl_up, pdf_pl, 0.0)
+    if ctx.has(BSDF_ROUGH_CONDUCTOR):
+        d = mf.eval_d(m, ctx.alpha, ctx.ggx)
+        g = mf.smith_g(wi, wo, ctx.alpha, ctx.ggx)
+        f_c = fresnel_conductor(wim, ctx.eta3, ctx.k3)
+        denom = jnp.maximum(4.0 * cos_i, 1e-8)
+        f_rc = ctx.spec * f_c * (d * g / denom)[..., None]
+        f_rc = jnp.where(refl_up[..., None], f_rc, 0.0)
+        pdf_rc = mf.pdf_m(m, ctx.alpha, ctx.ggx) / jnp.maximum(
+            4.0 * jnp.abs(wim), 1e-8
+        )
+        conds.append(k == BSDF_ROUGH_CONDUCTOR)
+        f_vals.append(f_rc)
+        pdf_vals.append(jnp.where(refl_up, pdf_rc, 0.0))
 
-    k = ctx.kind
+    if ctx.has(BSDF_ROUGH_DIELECTRIC):
+        # reflection + transmission (Walter et al. 2007), radiance transport
+        eta = ctx.eta
+        same_side = cos_i * cos_o > 0
+        m_r = m
+        m_t = normalize(wi + wo * eta[..., None])
+        m_t = jnp.where((m_t[..., 2] < 0)[..., None], -m_t, m_t)
+        f_dr, _, _, _ = fresnel_dielectric(dot(wi, m_r), eta)
+        d_r = mf.eval_d(m_r, ctx.alpha, ctx.ggx)
+        g_r = mf.smith_g(wi, wo, ctx.alpha, ctx.ggx)
+        f_rd_refl = f_dr * d_r * g_r / jnp.maximum(4.0 * jnp.abs(cos_i), 1e-8)
+        wim_t = dot(wi, m_t)
+        wom_t = dot(wo, m_t)
+        f_dt, _, _, _ = fresnel_dielectric(wim_t, eta)
+        d_t = mf.eval_d(m_t, ctx.alpha, ctx.ggx)
+        g_t = mf.smith_g(wi, wo, ctx.alpha, ctx.ggx)
+        sqrtdenom = wim_t + eta * wom_t
+        ft = (
+            jnp.abs(wim_t * wom_t)
+            / jnp.maximum(jnp.abs(cos_i * cos_o), 1e-8)
+            * (1.0 - f_dt)
+            * d_t
+            * g_t
+            / jnp.maximum(sqrtdenom * sqrtdenom, 1e-10)
+        )  # eta^2 (Walter) cancels the 1/eta^2 radiance scale
+        # f_rd_refl already contains the cos_o factor; ft does not.
+        f_rd = jnp.where(same_side, f_rd_refl, jnp.abs(ft) * jnp.abs(cos_o))
+        pdf_m_r = mf.pdf_m(m_r, ctx.alpha, ctx.ggx)
+        pdf_m_t = mf.pdf_m(m_t, ctx.alpha, ctx.ggx)
+        jac_r = 1.0 / jnp.maximum(4.0 * jnp.abs(dot(wo, m_r)), 1e-8)
+        jac_t = (
+            eta * eta * jnp.abs(wom_t)
+            / jnp.maximum(sqrtdenom * sqrtdenom, 1e-10)
+        )
+        pdf_rd = jnp.where(
+            same_side, f_dr * pdf_m_r * jac_r, (1.0 - f_dt) * pdf_m_t * jac_t
+        )
+        conds.append(k == BSDF_ROUGH_DIELECTRIC)
+        f_vals.append(f_rd[..., None] * jnp.ones(3))
+        pdf_vals.append(pdf_rd)
+
+    if ctx.has(BSDF_PLASTIC):
+        # diffuse lobe only (specular is delta)
+        f_i, _, _, _ = fresnel_dielectric(cos_i, ctx.eta)
+        f_o, _, _, _ = fresnel_dielectric(cos_o, ctx.eta)
+        fdr = _fdr(ctx.eta)
+        inv_eta2 = 1.0 / (ctx.eta * ctx.eta)
+        denom_pl = 1.0 - ctx.diff * fdr[..., None]  # nonlinear form
+        f_pl = (
+            ctx.diff
+            * (
+                INV_PI
+                * inv_eta2
+                * jnp.maximum(cos_o, 0.0)
+                * (1.0 - f_i)
+                * (1.0 - f_o)
+            )[..., None]
+            / jnp.maximum(denom_pl, 1e-6)
+        )
+        f_pl = jnp.where(refl_up[..., None], f_pl, 0.0)
+        pdf_pl = (1.0 - f_i) * jnp.maximum(cos_o, 0.0) * INV_PI
+        conds.append(k == BSDF_PLASTIC)
+        f_vals.append(f_pl)
+        pdf_vals.append(jnp.where(refl_up, pdf_pl, 0.0))
+
     zero3 = jnp.zeros(n + (3,))
     zero = jnp.zeros(n)
-    f = jnp.select(
-        [
-            (k == BSDF_DIFFUSE)[..., None] & jnp.ones(3, bool),
-            (k == BSDF_ROUGH_CONDUCTOR)[..., None] & jnp.ones(3, bool),
-            (k == BSDF_ROUGH_DIELECTRIC)[..., None] & jnp.ones(3, bool),
-            (k == BSDF_PLASTIC)[..., None] & jnp.ones(3, bool),
-        ],
-        [
-            jnp.where(refl_up[..., None], f_diff, 0.0),
-            f_rc,
-            f_rd,
-            f_pl,
-        ],
-        zero3,
-    )
-    pdf = jnp.select(
-        [
-            k == BSDF_DIFFUSE,
-            k == BSDF_ROUGH_CONDUCTOR,
-            k == BSDF_ROUGH_DIELECTRIC,
-            k == BSDF_PLASTIC,
-        ],
-        [
-            jnp.where(refl_up, pdf_diff, 0.0),
-            pdf_rc,
-            pdf_rd,
-            pdf_pl,
-        ],
-        zero,
-    )
+    if not conds:
+        return zero3, zero
+    if len(conds) == 1:
+        f = jnp.where(conds[0][..., None], f_vals[0], zero3)
+        pdf = jnp.where(conds[0], pdf_vals[0], zero)
+    else:
+        f = jnp.select([c[..., None] & jnp.ones(3, bool) for c in conds],
+                       f_vals, zero3)
+        pdf = jnp.select(conds, pdf_vals, zero)
     bad = ~jnp.isfinite(pdf)
     return jnp.where(jnp.isfinite(f), f, 0.0), jnp.where(bad, 0.0, pdf)
 
@@ -249,23 +251,16 @@ def smooth_fraction(ctx: BSDFContext, wi_world):
     pdf_diffuse correction, path_guiding_integrator.py:226-241)."""
     wi = to_local(wi_world, ctx.ns)
     cos_i = wi[..., 2]
-    f_i, _, _, _ = fresnel_dielectric(cos_i, ctx.eta)
     k = ctx.kind
-    return jnp.select(
-        [
-            k == BSDF_DIFFUSE,
-            k == BSDF_ROUGH_CONDUCTOR,
-            k == BSDF_ROUGH_DIELECTRIC,
-            k == BSDF_PLASTIC,
-        ],
-        [
-            jnp.ones_like(cos_i),
-            jnp.ones_like(cos_i),
-            jnp.ones_like(cos_i),
-            1.0 - f_i,
-        ],
-        jnp.zeros_like(cos_i),  # conductor, dielectric: all-delta
+    out = jnp.zeros_like(cos_i)  # conductor, dielectric: all-delta
+    smooth_kinds = (k == BSDF_DIFFUSE) | (k == BSDF_ROUGH_CONDUCTOR) | (
+        k == BSDF_ROUGH_DIELECTRIC
     )
+    out = jnp.where(smooth_kinds, 1.0, out)
+    if ctx.has(BSDF_PLASTIC):
+        f_i, _, _, _ = fresnel_dielectric(cos_i, ctx.eta)
+        out = jnp.where(k == BSDF_PLASTIC, 1.0 - f_i, out)
+    return out
 
 
 def sample(ctx: BSDFContext, wi_world, u_lobe, u1, u2):
@@ -278,39 +273,10 @@ def sample(ctx: BSDFContext, wi_world, u_lobe, u1, u2):
     wi = to_local(wi_world, ctx.ns)
     cos_i = wi[..., 2]
     n = cos_i.shape
-
-    # cosine lobe (diffuse, plastic-diffuse)
-    wo_cos = square_to_cosine_hemisphere(u1, u2)
-
-    # microfacet normal (roughconductor, roughdielectric)
-    m, _ = mf.sample_m(ctx.alpha, ctx.ggx, u1, u2)
-    wo_spec_m = 2.0 * dot(wi, m)[..., None] * m - wi
-
-    # perfect mirror
-    wo_mirror = reflect_local(wi)
-
-    # dielectric fresnel at wi
-    f_di, cos_t, eta_it, eta_ti = fresnel_dielectric(cos_i, ctx.eta)
-    # refraction of wi about +z (local): wo = -wi*eta_ti + z*(eta_ti*cos_i - cos_t)*sign
-    wo_refr = jnp.stack(
-        [
-            -wi[..., 0] * eta_ti,
-            -wi[..., 1] * eta_ti,
-            -jnp.sign(cos_i) * cos_t,
-        ],
-        axis=-1,
-    )
-
-    # rough dielectric: fresnel at microfacet
-    wim = dot(wi, m)
-    f_dm, cos_tm, eta_it_m, eta_ti_m = fresnel_dielectric(wim, ctx.eta)
-    # refract wi about m
-    wo_refr_m = (
-        -wi * eta_ti_m[..., None]
-        + (eta_ti_m * wim - jnp.sign(wim) * cos_tm)[..., None] * m
-    )
-
     k = ctx.kind
+    ones = jnp.ones(n)
+    false = jnp.zeros(n, bool)
+
     is_diffuse = k == BSDF_DIFFUSE
     is_cond = k == BSDF_CONDUCTOR
     is_rc = k == BSDF_ROUGH_CONDUCTOR
@@ -318,83 +284,101 @@ def sample(ctx: BSDFContext, wi_world, u_lobe, u1, u2):
     is_rd = k == BSDF_ROUGH_DIELECTRIC
     is_pl = k == BSDF_PLASTIC
 
-    # lobe selection
-    refl_choice_diel = u_lobe < f_di
-    refl_choice_rd = u_lobe < f_dm
-    prob_spec_pl = f_di
-    spec_choice_pl = u_lobe < prob_spec_pl
+    wo = jnp.zeros(n + (3,)).at[..., 2].set(1.0)
+    delta = false
+    eta_crossed = ones
+    pdf_delta = ones
+    w_delta = jnp.ones(n + (3,))
 
-    wo = jnp.where(
-        is_diffuse[..., None],
-        wo_cos,
-        jnp.where(
-            is_cond[..., None],
-            wo_mirror,
-            jnp.where(
-                is_rc[..., None],
-                wo_spec_m,
-                jnp.where(
-                    is_diel[..., None],
-                    jnp.where(refl_choice_diel[..., None], wo_mirror, wo_refr),
-                    jnp.where(
-                        is_rd[..., None],
-                        jnp.where(refl_choice_rd[..., None], wo_spec_m, wo_refr_m),
-                        jnp.where(
-                            spec_choice_pl[..., None], wo_mirror, wo_cos
-                        ),
-                    ),
-                ),
-            ),
-        ),
-    )
+    need_fresnel = ctx.has(BSDF_DIELECTRIC, BSDF_PLASTIC)
+    if need_fresnel:
+        f_di, cos_t, eta_it, eta_ti = fresnel_dielectric(cos_i, ctx.eta)
+
+    if ctx.has(BSDF_DIFFUSE, BSDF_PLASTIC):
+        wo_cos = square_to_cosine_hemisphere(u1, u2)
+        take_cos = is_diffuse
+        if ctx.has(BSDF_PLASTIC):
+            spec_choice_pl = u_lobe < f_di
+            take_cos = take_cos | (is_pl & ~spec_choice_pl)
+        wo = jnp.where(take_cos[..., None], wo_cos, wo)
+
+    if ctx.has(BSDF_ROUGH_CONDUCTOR, BSDF_ROUGH_DIELECTRIC):
+        m, _ = mf.sample_m(ctx.alpha, ctx.ggx, u1, u2)
+        wo_spec_m = 2.0 * dot(wi, m)[..., None] * m - wi
+        wim = dot(wi, m)
+        wo = jnp.where(is_rc[..., None], wo_spec_m, wo)
+
+    if ctx.has(BSDF_CONDUCTOR, BSDF_DIELECTRIC, BSDF_PLASTIC):
+        wo_mirror = reflect_local(wi)
+        take_mirror = is_cond
+        if ctx.has(BSDF_PLASTIC):
+            take_mirror = take_mirror | (is_pl & spec_choice_pl)
+        wo = jnp.where(take_mirror[..., None], wo_mirror, wo)
+
+    if ctx.has(BSDF_DIELECTRIC):
+        refl_choice_diel = u_lobe < f_di
+        wo_refr = jnp.stack(
+            [
+                -wi[..., 0] * eta_ti,
+                -wi[..., 1] * eta_ti,
+                -jnp.sign(cos_i) * cos_t,
+            ],
+            axis=-1,
+        )
+        wo = jnp.where(
+            is_diel[..., None],
+            jnp.where(refl_choice_diel[..., None], wo_mirror, wo_refr),
+            wo,
+        )
+        delta = delta | is_diel
+        eta_crossed = jnp.where(is_diel & ~refl_choice_diel, eta_it, eta_crossed)
+        pdf_delta = jnp.where(
+            is_diel, jnp.where(refl_choice_diel, f_di, 1.0 - f_di), pdf_delta
+        )
+        w_diel = jnp.where(
+            refl_choice_diel[..., None],
+            jnp.ones(n + (3,)),
+            (eta_ti * eta_ti)[..., None] * jnp.ones(3),
+        )
+        w_delta = jnp.where(is_diel[..., None], w_diel, w_delta)
+
+    if ctx.has(BSDF_ROUGH_DIELECTRIC):
+        f_dm, cos_tm, eta_it_m, eta_ti_m = fresnel_dielectric(wim, ctx.eta)
+        refl_choice_rd = u_lobe < f_dm
+        wo_refr_m = (
+            -wi * eta_ti_m[..., None]
+            + (eta_ti_m * wim - jnp.sign(wim) * cos_tm)[..., None] * m
+        )
+        wo = jnp.where(
+            is_rd[..., None],
+            jnp.where(refl_choice_rd[..., None], wo_spec_m, wo_refr_m),
+            wo,
+        )
+        eta_crossed = jnp.where(is_rd & ~refl_choice_rd, eta_it_m, eta_crossed)
+
+    if ctx.has(BSDF_CONDUCTOR):
+        delta = delta | is_cond
+        w_cond = ctx.spec * fresnel_conductor(cos_i, ctx.eta3, ctx.k3)
+        w_delta = jnp.where(is_cond[..., None], w_cond, w_delta)
+
+    if ctx.has(BSDF_PLASTIC):
+        delta = delta | (is_pl & spec_choice_pl)
+        pdf_delta = jnp.where(is_pl, f_di, pdf_delta)
+        # plastic specular weight = F_i / prob_spec = 1 (w_delta default)
+
     wo = normalize(wo)
-    delta = (
-        is_cond
-        | is_diel
-        | (is_pl & spec_choice_pl)
-    )
-    eta_crossed = jnp.where(
-        is_diel & ~refl_choice_diel,
-        eta_it,
-        jnp.where(is_rd & ~refl_choice_rd, eta_it_m, 1.0),
-    )
 
-    # --- weights & pdfs ---
+    # --- weights & pdfs for the smooth lobes ---
     f_smooth, pdf_smooth = _eval_pdf_local(ctx, wi, wo)
-
-    # diffuse / roughconductor / roughdielectric / plastic-diffuse:
-    # weight = f_smooth/pdf_smooth; plastic diffuse pdf already includes
-    # (1 - prob_spec) so weight is consistent.
     w_generic = f_smooth / jnp.maximum(pdf_smooth, 1e-12)[..., None]
     ok_generic = pdf_smooth > 1e-12
 
-    # conductor: weight = spec * F_conductor(cos_i)
-    w_cond = ctx.spec * fresnel_conductor(cos_i, ctx.eta3, ctx.k3)
-    # dielectric
-    w_diel_refl = jnp.ones(n + (3,))
-    w_diel_refr = jnp.ones(n + (3,)) * (eta_ti * eta_ti)[..., None]
-    w_diel = jnp.where(refl_choice_diel[..., None], w_diel_refl, w_diel_refr)
-    # plastic specular: weight = F_i / prob_spec = 1
-    w_pl_spec = jnp.ones(n + (3,))
-
     weight = jnp.where(
         delta[..., None],
-        jnp.where(
-            is_cond[..., None],
-            w_cond,
-            jnp.where(is_diel[..., None], w_diel, w_pl_spec),
-        ),
+        w_delta,
         jnp.where(ok_generic[..., None], w_generic, 0.0),
     )
-    pdf = jnp.where(
-        delta,
-        jnp.where(
-            is_diel,
-            jnp.where(refl_choice_diel, f_di, 1.0 - f_di),
-            jnp.where(is_pl, prob_spec_pl, 1.0),
-        ),
-        pdf_smooth,
-    )
+    pdf = jnp.where(delta, pdf_delta, pdf_smooth)
     valid = delta | ok_generic
     weight = jnp.where(valid[..., None] & jnp.isfinite(weight), weight, 0.0)
 

@@ -384,3 +384,18 @@ def render_guided_pass_stepped(
     if not is_final:
         tree_current = _splat_jit(tree_current, recs, L)
     return L, px, py, rays, tree_current
+
+
+def guided_wavefront_pass(
+    scene, tree_prev, seed0, pass_index, iteration, record: bool,
+    bsdf_fraction: float = 0.5,
+):
+    """Film sampling + fused while_loop wavefront, WITHOUT the splat —
+    keeping the two halves in separate executables roughly halves XLA
+    compile time on slow remote-compile backends."""
+    lane_ids, px, py = _film_samples(scene, seed0, pass_index)
+    L, rays, recs = render_guided_wavefront(
+        scene, tree_prev, seed0, pass_index, lane_ids, px, py, iteration,
+        record=record, bsdf_fraction=bsdf_fraction,
+    )
+    return L, px, py, rays, recs

@@ -14,7 +14,11 @@ import jax.numpy as jnp
 
 from ..guiding.sdtree import SDTree
 from . import variance as var_mod
-from .guided import render_guided_pass, render_guided_pass_stepped
+from .guided import (
+    _splat_jit,
+    guided_wavefront_pass,
+    render_guided_pass_stepped,
+)
 from .path_tracer import _film_prologue
 from .path_tracer import render_pass as pt_render_pass
 from .path_tracer import render_wavefront_stepped
@@ -53,9 +57,9 @@ class PathGuidingIntegrator:
         self.tree_current: SDTree | None = None
         self.dev_tree = None
         self._stepped = _stepped_backend()
-        self._jit_pass = jax.jit(
-            partial(render_guided_pass, bsdf_fraction=bsdf_sampling_fraction),
-            static_argnames=("is_final",),
+        self._jit_wave = jax.jit(
+            partial(guided_wavefront_pass, bsdf_fraction=bsdf_sampling_fraction),
+            static_argnames=("record",),
         )
 
     # ------------------------------------------------------------------ #
@@ -102,24 +106,20 @@ class PathGuidingIntegrator:
     def render_pass(self, seed0, cumm_spp):
         """One 1-spp pass; accumulates film moments; returns the box image
         of this pass ((H,W,3) numpy-convertible) and rays cast."""
-        pass_fn = (
-            partial(
-                render_guided_pass_stepped,
+        if self._stepped:
+            L, px, py, rays, dev = render_guided_pass_stepped(
+                self.scene, self.dev_tree, self.dev_tree, seed0, cumm_spp,
+                self.iteration, is_final=self.is_final,
                 bsdf_fraction=self.bsdf_sampling_fraction,
             )
-            if self._stepped
-            else self._jit_pass
-        )
-        L, px, py, rays, dev = pass_fn(
-            self.scene,
-            self.dev_tree,
-            self.dev_tree,
-            seed0,
-            cumm_spp,
-            self.iteration,
-            is_final=self.is_final,
-        )
-        self.dev_tree = dev
+            self.dev_tree = dev
+        else:
+            L, px, py, rays, recs = self._jit_wave(
+                self.scene, self.dev_tree, seed0, cumm_spp, self.iteration,
+                record=not self.is_final,
+            )
+            if not self.is_final:
+                self.dev_tree = _splat_jit(self.dev_tree, recs, L)
         self.sum_l, self.sum_l2 = var_mod.accumulate_moments(
             self.sum_l, self.sum_l2, L, px, py, self.scene.camera.width
         )

@@ -66,6 +66,9 @@ class Scene:
     rr_depth: int = struct.field(pytree_node=False, default=8)
     integrator: str = struct.field(pytree_node=False, default="path")
     name: str = struct.field(pytree_node=False, default="scene")
+    # static set of BSDF families present — the vectorized dispatcher only
+    # emits code for these (smaller programs, faster compiles & VPU time)
+    used_kinds: tuple = struct.field(pytree_node=False, default=())
 
 
 def _build_materials(desc: SceneDesc):
@@ -196,6 +199,7 @@ def compile_scene(desc: SceneDesc) -> Scene:
         rr_depth=desc.rr_depth,
         integrator=desc.integrator,
         name=desc.path.name,
+        used_kinds=tuple(sorted(set(int(k) for k in np.asarray(materials.kind)))),
     )
 
 
