@@ -62,16 +62,23 @@ def kd_lookup(tree: SDTreeDevice, p):
     x = (p - tree.bbox_lo) * tree.bbox_inv_size  # normalized [0,1]^3
     node = jnp.zeros(p.shape[:-1], jnp.int32)
 
-    def body(_, node):
+    def cond(state):
+        i, node = state
+        return (i < tree.kd_max_depth) & jnp.any(~tree.kd_leaf[node])
+
+    def body(state):
+        i, node = state
         leaf = tree.kd_leaf[node]
         axis = tree.kd_axis[node]
         split = tree.kd_split[node]
         v = jnp.take_along_axis(x, axis[..., None], axis=-1)[..., 0]
         left = tree.kd_left[node]
         nxt = jnp.where(v < split, left, left + 1)
-        return jnp.where(leaf, node, nxt)
+        return i + 1, jnp.where(leaf, node, nxt)
 
-    node = jax.lax.fori_loop(0, tree.kd_max_depth, body, node)
+    # early-exit descent: trees are much shallower than the static cap in
+    # early iterations, and XLA gathers are the hot cost on TPU
+    _, node = jax.lax.while_loop(cond, body, (jnp.int32(0), node))
     return node, tree.kd_quad_root[node]
 
 
@@ -92,8 +99,12 @@ def quad_leaf_lookup(tree: SDTreeDevice, root, xy):
     lo = jnp.zeros_like(xy)
     size = jnp.ones_like(xy)
 
-    def body(_, carry):
-        node, lo, size = carry
+    def cond(carry):
+        i, node, lo, size = carry
+        return (i < tree.quad_max_depth) & jnp.any(tree.q_child[node, 0] >= 0)
+
+    def body(carry):
+        i, node, lo, size = carry
         leaf = tree.q_child[node, 0] < 0
         mid = lo + 0.5 * size
         c = _quadrant(xy[..., 0], xy[..., 1], mid[..., 0], mid[..., 1])
@@ -108,10 +119,10 @@ def quad_leaf_lookup(tree: SDTreeDevice, root, xy):
         node2 = jnp.where(leaf, node, child)
         lo2 = jnp.where(leaf[..., None], lo, new_lo)
         size2 = jnp.where(leaf[..., None], size, 0.5 * size)
-        return node2, lo2, size2
+        return i + 1, node2, lo2, size2
 
-    node, lo, size = jax.lax.fori_loop(
-        0, tree.quad_max_depth, body, (node, lo, size)
+    _, node, lo, size = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), node, lo, size)
     )
     return node
 
@@ -125,8 +136,12 @@ def quad_pdf(tree: SDTreeDevice, root, xy):
     size = jnp.ones_like(xy)
     pdf = jnp.full(xy.shape[:-1], 1.0 / (4.0 * np.pi), jnp.float32)
 
-    def body(_, carry):
-        node, lo, size, pdf = carry
+    def cond(carry):
+        i, node, lo, size, pdf = carry
+        return (i < tree.quad_max_depth) & jnp.any(tree.q_child[node, 0] >= 0)
+
+    def body(carry):
+        i, node, lo, size, pdf = carry
         leaf = tree.q_child[node, 0] < 0
         mid = lo + 0.5 * size
         c = _quadrant(xy[..., 0], xy[..., 1], mid[..., 0], mid[..., 1])
@@ -147,10 +162,10 @@ def quad_pdf(tree: SDTreeDevice, root, xy):
         node2 = jnp.where(leaf, node, child)
         lo2 = jnp.where(leaf[..., None], lo, new_lo)
         size2 = jnp.where(leaf[..., None], size, 0.5 * size)
-        return node2, lo2, size2, pdf2
+        return i + 1, node2, lo2, size2, pdf2
 
-    node, lo, size, pdf = jax.lax.fori_loop(
-        0, tree.quad_max_depth, body, (node, lo, size, pdf)
+    _, node, lo, size, pdf = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), node, lo, size, pdf)
     )
     # zero-irradiance subtree -> pdf collapses to uniform contributions; the
     # reference returns NaN->0 there; emulate: if the *root* has zero flux,
@@ -168,10 +183,14 @@ def quad_sample(tree: SDTreeDevice, root, u1, u2):
     size = jnp.ones(n + (2,), jnp.float32)
     pdf = jnp.full(n, 1.0 / (4.0 * np.pi), jnp.float32)
     # mutable uniforms for reuse down the tree (rescaled each level)
-    state = (node, lo, size, pdf, u1, u2)
+    state = (jnp.int32(0), node, lo, size, pdf, u1, u2)
 
-    def body(_, carry):
-        node, lo, size, pdf, u1, u2 = carry
+    def cond(carry):
+        i, node = carry[0], carry[1]
+        return (i < tree.quad_max_depth) & jnp.any(tree.q_child[node, 0] >= 0)
+
+    def body(carry):
+        i, node, lo, size, pdf, u1, u2 = carry
         leaf = tree.q_child[node, 0] < 0
         kids = tree.q_child[node]
         irr = jnp.where(kids >= 0, tree.q_irr[jnp.maximum(kids, 0)], 0.0)
@@ -203,9 +222,9 @@ def quad_sample(tree: SDTreeDevice, root, u1, u2):
         lo2 = jnp.where(leaf[..., None], lo, new_lo)
         size2 = jnp.where(leaf[..., None], size, 0.5 * size)
         u1b = jnp.where(leaf, u1, u1n)
-        return node2, lo2, size2, pdf2, u1b, u2
+        return i + 1, node2, lo2, size2, pdf2, u1b, u2
 
-    node, lo, size, pdf, u1, u2 = jax.lax.fori_loop(0, tree.quad_max_depth, body, state)
+    _, node, lo, size, pdf, u1, u2 = jax.lax.while_loop(cond, body, state)
     # uniform position within the leaf cell
     xy = lo + size * jnp.stack([u1, u2], axis=-1)
     xy = jnp.clip(xy, 0.0, 1.0 - 1e-7)

@@ -91,18 +91,47 @@ def _bounce_body(scene, tree_prev, seed0, pass_index, iteration,
             )
             L = L + jnp.where(esc[:, None], tp * env_L * w_env[:, None], 0.0)
 
-        # --- guiding lookup state at this vertex ---
+        # --- NEE sampling (emitter side) ---
         ctx = bsdf_mod.make_context(scene, si)
-        kd_leaf, q_root = sd.kd_lookup(tree_prev, si.p)
-
-        # --- NEE with guided-aware MIS ---
         u_sel = rng.uniform1(seed0, pass_index, depth, rng.PurposeId.NEE_SELECT, lane_ids)
         u1, u2 = rng.uniform2(seed0, pass_index, depth, rng.PurposeId.NEE_POS, lane_ids)
         nee = em_mod.sample_nee(em, scene.tris, si.p, u_sel, u1, u2)
         f_nee, pdf_bsdf_nee = bsdf_mod.eval_pdf(ctx, si.wi_world, nee["wo"])
         smooth_frac = bsdf_mod.smooth_fraction(ctx, si.wi_world)
-        tree_pdf_nee = sd.quad_pdf(
-            tree_prev, q_root, dir_to_canonical(nee["wo"])
+        nee_ok = hit & nee["valid"] & (nee["pdf"] > 0)
+        nee_ok = nee_ok & (dot(nee["wo"], si.n) > 0)
+        shadowed = occluded(scene, si.p + si.n * 1e-4, nee["wo"], nee["dist"])
+        nee_ok = nee_ok & ~shadowed
+        s["rays_cast"] = s["rays_cast"] + jnp.sum(hit.astype(jnp.float32))
+
+        # --- one-sample-MIS direction: BSDF vs SD-tree (:272-311) ---
+        ub0, ub1, ub2 = rng.uniform3(seed0, pass_index, depth, rng.PurposeId.BSDF_SAMPLE, lane_ids)
+        bs = bsdf_mod.sample(ctx, si.wi_world, ub0, ub1, ub2)
+
+        u_guide = rng.uniform1(seed0, pass_index, depth, rng.PurposeId.GUIDE_SELECT, lane_ids)
+        g1, g2 = rng.uniform2(seed0, pass_index, depth, rng.PurposeId.GUIDE_DIR, lane_ids)
+
+        # All SD-tree descents behind one lax.cond: unguided iterations
+        # (0 and 1, and pure-PT comparisons) skip the gather-heavy tree work
+        # entirely; guided iterations run it once per bounce.
+        def _tree_work(args):
+            p, wo_nee, bs_wo, g1, g2 = args
+            _, q_root = sd.kd_lookup(tree_prev, p)
+            t_pdf_nee = sd.quad_pdf(tree_prev, q_root, dir_to_canonical(wo_nee))
+            t_xy, t_pdf_s = sd.quad_sample(tree_prev, q_root, g1, g2)
+            t_pdf_b = sd.quad_pdf(tree_prev, q_root, dir_to_canonical(bs_wo))
+            return t_pdf_nee, t_xy, t_pdf_s, t_pdf_b
+
+        def _no_tree(args):
+            p, wo_nee, bs_wo, g1, g2 = args
+            z = jnp.zeros(p.shape[:-1], jnp.float32)
+            return z, jnp.zeros(p.shape[:-1] + (2,), jnp.float32), z, z
+
+        tree_pdf_nee, tree_xy, tree_pdf_t, tree_pdf_b = jax.lax.cond(
+            use_guiding,
+            _tree_work,
+            _no_tree,
+            (si.p, nee["wo"], bs["wo"], g1, g2),
         )
         surface_pdf = jnp.where(
             use_guiding,
@@ -110,11 +139,8 @@ def _bounce_body(scene, tree_prev, seed0, pass_index, iteration,
             + (1.0 - bsdf_fraction) * tree_pdf_nee * smooth_frac,
             pdf_bsdf_nee,
         )
-        nee_ok = hit & nee["valid"] & (nee["pdf"] > 0)
-        nee_ok = nee_ok & (dot(nee["wo"], si.n) > 0)
-        shadowed = occluded(scene, si.p + si.n * 1e-4, nee["wo"], nee["dist"])
-        nee_ok = nee_ok & ~shadowed
-        s["rays_cast"] = s["rays_cast"] + jnp.sum(hit.astype(jnp.float32))
+
+        # NEE contribution with guided-aware MIS weight
         w_nee = jnp.where(
             nee["is_delta"], 1.0, mis_power_heuristic(nee["pdf"], surface_pdf)
         )
@@ -130,24 +156,15 @@ def _bounce_body(scene, tree_prev, seed0, pass_index, iteration,
         )
         L = L + Lr_dir
 
-        # --- one-sample-MIS direction: BSDF vs SD-tree (:272-311) ---
-        ub0, ub1, ub2 = rng.uniform3(seed0, pass_index, depth, rng.PurposeId.BSDF_SAMPLE, lane_ids)
-        bs = bsdf_mod.sample(ctx, si.wi_world, ub0, ub1, ub2)
-
-        u_guide = rng.uniform1(seed0, pass_index, depth, rng.PurposeId.GUIDE_SELECT, lane_ids)
-        g1, g2 = rng.uniform2(seed0, pass_index, depth, rng.PurposeId.GUIDE_DIR, lane_ids)
-
         do_mix = use_guiding & ~bs["delta"]  # :283,286
         take_tree = do_mix & (u_guide >= bsdf_fraction)
 
-        tree_xy, tree_pdf_t = sd.quad_sample(tree_prev, q_root, g1, g2)
         wo_tree = canonical_to_dir(tree_xy)
         f_tree, bsdf_pdf_tree = bsdf_mod.eval_pdf(ctx, si.wi_world, wo_tree)
 
         wo = jnp.where(take_tree[:, None], wo_tree, bs["wo"])
         bsdf_pdf = jnp.where(take_tree, bsdf_pdf_tree, bs["pdf"])
-        # tree pdf of the chosen direction
-        tree_pdf_b = sd.quad_pdf(tree_prev, q_root, dir_to_canonical(bs["wo"]))
+        # tree pdf of the chosen direction (tree_pdf_b from the cond above)
         tree_pdf = jnp.where(take_tree, tree_pdf_t, tree_pdf_b)
 
         # f * cos of the chosen direction for mixture-weight lanes
