@@ -246,12 +246,22 @@ def splat(tree: SDTreeDevice, p, xy, value, weight, nee_xy=None, nee_value=None,
         mask = jnp.ones(value.shape, bool)
     kd_leaf, root = kd_lookup(tree, p)
     kd_acc = tree.kd_vert_acc.at[kd_leaf].add(jnp.where(mask, weight, 0.0))
-    q_leaf = quad_leaf_lookup(tree, root, xy)
-    q_acc = tree.q_irr_acc.at[q_leaf].add(jnp.where(mask, value, 0.0))
     if nee_xy is not None:
-        q_leaf_nee = quad_leaf_lookup(tree, root, nee_xy)
+        # path + NEE directions share one batched leaf descent
+        v = value.shape[0]
+        q_leaf2 = quad_leaf_lookup(
+            tree,
+            jnp.concatenate([root, root]),
+            jnp.concatenate([xy, nee_xy], axis=0),
+        )
         nee_mask = mask & (nee_value > 0)
-        q_acc = q_acc.at[q_leaf_nee].add(jnp.where(nee_mask, nee_value, 0.0))
+        vals = jnp.concatenate(
+            [jnp.where(mask, value, 0.0), jnp.where(nee_mask, nee_value, 0.0)]
+        )
+        q_acc = tree.q_irr_acc.at[q_leaf2].add(vals)
+    else:
+        q_leaf = quad_leaf_lookup(tree, root, xy)
+        q_acc = tree.q_irr_acc.at[q_leaf].add(jnp.where(mask, value, 0.0))
     return tree.replace(kd_vert_acc=kd_acc, q_irr_acc=q_acc)
 
 

@@ -117,9 +117,15 @@ def _bounce_body(scene, tree_prev, seed0, pass_index, iteration,
         def _tree_work(args):
             p, wo_nee, bs_wo, g1, g2 = args
             _, q_root = sd.kd_lookup(tree_prev, p)
-            t_pdf_nee = sd.quad_pdf(tree_prev, q_root, dir_to_canonical(wo_nee))
+            # both pdf queries share one batched descent (half the loop
+            # overhead; identical gather count)
+            xy2 = dir_to_canonical(jnp.concatenate([wo_nee, bs_wo], axis=0))
+            pdf2 = sd.quad_pdf(
+                tree_prev, jnp.concatenate([q_root, q_root]), xy2
+            )
+            nn = p.shape[0]
+            t_pdf_nee, t_pdf_b = pdf2[:nn], pdf2[nn:]
             t_xy, t_pdf_s = sd.quad_sample(tree_prev, q_root, g1, g2)
-            t_pdf_b = sd.quad_pdf(tree_prev, q_root, dir_to_canonical(bs_wo))
             return t_pdf_nee, t_xy, t_pdf_s, t_pdf_b
 
         def _no_tree(args):
