@@ -116,8 +116,9 @@ def _intersect_spheres(o, d, spheres, t_near, t_far):
     return tj, idx
 
 
-def intersect(scene, o, d, t_near=None, t_far=None) -> Intersection:
-    """Closest-hit for a wavefront of rays against the whole scene."""
+def intersect(scene, o, d, t_near=None, t_far=None, n_live=None) -> Intersection:
+    """Closest-hit for a wavefront of rays against the whole scene.
+    ``n_live``: optional live-lane watermark for compacted wavefronts."""
     n = o.shape[0]
     if t_near is None:
         t_near = jnp.full((n,), 1e-4)
@@ -130,6 +131,7 @@ def intersect(scene, o, d, t_near=None, t_far=None) -> Intersection:
             scene.tris["soa"], o, d, t_near,
             jnp.where(jnp.isfinite(t_far), t_far, 1e30),
             int(scene.tris["soa"].shape[0]),
+            n_live=n_live,
         )
         tt = jnp.where(ti >= 0, tt, jnp.inf)
     else:
@@ -213,7 +215,7 @@ def intersect(scene, o, d, t_near=None, t_far=None) -> Intersection:
     )
 
 
-def occluded(scene, o, d, t_max) -> jnp.ndarray:
+def occluded(scene, o, d, t_max, n_live=None) -> jnp.ndarray:
     """Any-hit shadow query along (o, d) up to t_max (with end epsilons)."""
     n = o.shape[0]
     t_near = jnp.full((n,), 1e-4)
@@ -225,6 +227,7 @@ def occluded(scene, o, d, t_max) -> jnp.ndarray:
             scene.tris["soa"], o, d, t_near,
             jnp.where(jnp.isfinite(t_far), t_far, 1e30),
             int(scene.tris["soa"].shape[0]),
+            n_live=n_live,
         )
     else:
         hit_tri = _scan_triangles(o, d, scene.tris, t_near, t_far, any_hit=True)

@@ -53,8 +53,24 @@ def _mt_one(v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z,
     return tt, u, v, ok
 
 
-def _closest_hit_kernel(tri_ref, ox, oy, oz, dx, dy, dz, tn, tf,
+def _closest_hit_kernel(n_live_ref, tri_ref, ox, oy, oz, dx, dy, dz, tn, tf,
                         t_out, i_out, u_out, v_out, *, n_tris):
+    # whole grid steps beyond the live-lane watermark are skipped — the
+    # integrator compacts live rays to the front of the wavefront
+    step_base = pl.program_id(0) * RAY_ROWS * LANE_BLOCK
+    t_out[:] = tf[:]
+    i_out[:] = jnp.full(ox.shape, -1, jnp.int32)
+    u_out[:] = jnp.zeros(ox.shape, jnp.float32)
+    v_out[:] = jnp.zeros(ox.shape, jnp.float32)
+
+    @pl.when(step_base < n_live_ref[0])
+    def _run():
+        _closest_hit_body(tri_ref, ox, oy, oz, dx, dy, dz, tn, tf,
+                          t_out, i_out, u_out, v_out, n_tris=n_tris)
+
+
+def _closest_hit_body(tri_ref, ox, oy, oz, dx, dy, dz, tn, tf,
+                      t_out, i_out, u_out, v_out, *, n_tris):
     o_x, o_y, o_z = ox[:], oy[:], oz[:]
     d_x, d_y, d_z = dx[:], dy[:], dz[:]
     t_near = tn[:]
@@ -91,8 +107,19 @@ def _closest_hit_kernel(tri_ref, ox, oy, oz, dx, dy, dz, tn, tf,
     v_out[:] = best_v
 
 
-def _any_hit_kernel(tri_ref, ox, oy, oz, dx, dy, dz, tn, tf, hit_out,
-                    *, n_tris):
+def _any_hit_kernel(n_live_ref, tri_ref, ox, oy, oz, dx, dy, dz, tn, tf,
+                    hit_out, *, n_tris):
+    step_base = pl.program_id(0) * RAY_ROWS * LANE_BLOCK
+    hit_out[:] = jnp.zeros(ox.shape, jnp.bool_)
+
+    @pl.when(step_base < n_live_ref[0])
+    def _run():
+        _any_hit_body(tri_ref, ox, oy, oz, dx, dy, dz, tn, tf, hit_out,
+                      n_tris=n_tris)
+
+
+def _any_hit_body(tri_ref, ox, oy, oz, dx, dy, dz, tn, tf, hit_out,
+                  *, n_tris):
     o_x, o_y, o_z = ox[:], oy[:], oz[:]
     d_x, d_y, d_z = dx[:], dy[:], dz[:]
     t_near = tn[:]
@@ -130,13 +157,8 @@ def _to_planes(a, n_pad, fill):
     return a.reshape(-1, LANE_BLOCK)
 
 
-@partial(jax.jit, static_argnames=("n_tris",))
-def pallas_closest_hit(tri_soa, o, d, t_near, t_far, n_tris: int):
-    """tri_soa: (Tpad, 16) [v0 e1 e2 pad]; o, d: (N, 3). Returns
-    (t, prim, u, v) with prim = -1 on miss."""
-    n = o.shape[0]
-    rows_pad, n_pad = _plan(n)
-    planes = [
+def _common_planes(o, d, t_near, t_far, n_pad):
+    return [
         _to_planes(o[:, 0], n_pad, 0.0),
         _to_planes(o[:, 1], n_pad, 0.0),
         _to_planes(o[:, 2], n_pad, 0.0),
@@ -146,13 +168,29 @@ def pallas_closest_hit(tri_soa, o, d, t_near, t_far, n_tris: int):
         _to_planes(t_near, n_pad, 0.0),
         _to_planes(t_far, n_pad, -1.0),
     ]
+
+
+@partial(jax.jit, static_argnames=("n_tris",))
+def pallas_closest_hit(tri_soa, o, d, t_near, t_far, n_tris: int, n_live=None):
+    """tri_soa: (Tpad, 16) [v0 e1 e2 pad]; o, d: (N, 3). Returns
+    (t, prim, u, v) with prim = -1 on miss. ``n_live`` (traced scalar):
+    lanes >= n_live are skipped wholesale (compacted wavefronts)."""
+    n = o.shape[0]
+    rows_pad, n_pad = _plan(n)
+    if n_live is None:
+        n_live = jnp.int32(n)
+    planes = _common_planes(o, d, t_near, t_far, n_pad)
     ray_spec = pl.BlockSpec(
         (RAY_ROWS, LANE_BLOCK), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     out = pl.pallas_call(
         partial(_closest_hit_kernel, n_tris=n_tris),
         grid=(rows_pad // RAY_ROWS,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] + [ray_spec] * 8,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ]
+        + [ray_spec] * 8,
         out_specs=[ray_spec] * 4,
         out_shape=[
             jax.ShapeDtypeStruct((rows_pad, LANE_BLOCK), jnp.float32),
@@ -160,35 +198,32 @@ def pallas_closest_hit(tri_soa, o, d, t_near, t_far, n_tris: int):
             jax.ShapeDtypeStruct((rows_pad, LANE_BLOCK), jnp.float32),
             jax.ShapeDtypeStruct((rows_pad, LANE_BLOCK), jnp.float32),
         ],
-    )(tri_soa, *planes)
+    )(jnp.asarray(n_live, jnp.int32).reshape(1), tri_soa, *planes)
     t, i, u, v = (x.reshape(-1)[:n] for x in out)
     return t, i, u, v
 
 
 @partial(jax.jit, static_argnames=("n_tris",))
-def pallas_any_hit(tri_soa, o, d, t_near, t_far, n_tris: int):
+def pallas_any_hit(tri_soa, o, d, t_near, t_far, n_tris: int, n_live=None):
     n = o.shape[0]
     rows_pad, n_pad = _plan(n)
-    planes = [
-        _to_planes(o[:, 0], n_pad, 0.0),
-        _to_planes(o[:, 1], n_pad, 0.0),
-        _to_planes(o[:, 2], n_pad, 0.0),
-        _to_planes(d[:, 0], n_pad, 0.0),
-        _to_planes(d[:, 1], n_pad, 0.0),
-        _to_planes(d[:, 2], n_pad, 1.0),
-        _to_planes(t_near, n_pad, 0.0),
-        _to_planes(t_far, n_pad, -1.0),
-    ]
+    if n_live is None:
+        n_live = jnp.int32(n)
+    planes = _common_planes(o, d, t_near, t_far, n_pad)
     ray_spec = pl.BlockSpec(
         (RAY_ROWS, LANE_BLOCK), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     out = pl.pallas_call(
         partial(_any_hit_kernel, n_tris=n_tris),
         grid=(rows_pad // RAY_ROWS,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] + [ray_spec] * 8,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ]
+        + [ray_spec] * 8,
         out_specs=ray_spec,
         out_shape=jax.ShapeDtypeStruct((rows_pad, LANE_BLOCK), jnp.bool_),
-    )(tri_soa, *planes)
+    )(jnp.asarray(n_live, jnp.int32).reshape(1), tri_soa, *planes)
     return out.reshape(-1)[:n]
 
 

@@ -29,12 +29,14 @@ from ..scene import emitters as em_mod
 from ..scene.camera import generate_rays
 
 
-def _init_state(scene, px, py, record: bool):
+def _init_state(scene, px, py, lane_ids, record: bool):
     n_rays = px.shape[0]
     sx = px / scene.camera.width
     sy = py / scene.camera.height
     ray = generate_rays(scene.camera, sx, sy)
     state = {
+        "lane": lane_ids,
+        "n_live": jnp.int32(n_rays),
         "o": ray.o,
         "d": ray.d,
         "throughput": jnp.ones((n_rays, 3)),
@@ -52,9 +54,12 @@ def _init_state(scene, px, py, record: bool):
 
 
 def _bounce_body(scene, tree_prev, seed0, pass_index, iteration,
-                 bsdf_fraction, lane_ids, s):
+                 bsdf_fraction, s):
     """One guided bounce; pure function of the state dict. Recording is on
-    iff the state carries a 'recs' entry (structural, so one jit each)."""
+    iff the state carries a 'recs' entry (structural, so one jit each).
+    Lanes are compacted live-first; randomness and record writes are keyed
+    by s["lane"] (original sample ids)."""
+    lane_ids = s["lane"]
     n_rays = lane_ids.shape[0]
     record = "recs" in s
     use_guiding = iteration > 1  # reference :223,283 — traced scalar is fine
@@ -62,7 +67,7 @@ def _bounce_body(scene, tree_prev, seed0, pass_index, iteration,
         s = dict(s)
         depth = s["depth"]
 
-        si = intersect(scene, s["o"], s["d"])
+        si = intersect(scene, s["o"], s["d"], n_live=s["n_live"])
         active = s["active"]
         s["rays_cast"] = s["rays_cast"] + jnp.sum(active.astype(jnp.float32))
         esc = active & ~si.valid
@@ -100,7 +105,10 @@ def _bounce_body(scene, tree_prev, seed0, pass_index, iteration,
         smooth_frac = bsdf_mod.smooth_fraction(ctx, si.wi_world)
         nee_ok = hit & nee["valid"] & (nee["pdf"] > 0)
         nee_ok = nee_ok & (dot(nee["wo"], si.n) > 0)
-        shadowed = occluded(scene, si.p + si.n * 1e-4, nee["wo"], nee["dist"])
+        shadowed = occluded(
+            scene, si.p + si.n * 1e-4, nee["wo"], nee["dist"],
+            n_live=s["n_live"],
+        )
         nee_ok = nee_ok & ~shadowed
         s["rays_cast"] = s["rays_cast"] + jnp.sum(hit.astype(jnp.float32))
 
@@ -193,13 +201,14 @@ def _bounce_body(scene, tree_prev, seed0, pass_index, iteration,
             store = hit  # & ~final (record=False in final iteration)
             r = s["recs"]
 
+            nrec = getattr(r, "wo_pdf").shape[0]
+
             def put(field, value, mask):
+                # scatter at ORIGINAL lane ids; masked-off lanes write out of
+                # bounds and are dropped
                 arr = getattr(r, field)
-                cur = jax.lax.dynamic_index_in_dim(arr, depth, 1, keepdims=False)
-                new = jnp.where(
-                    mask[:, None] if value.ndim > 1 else mask, value, cur
-                )
-                return jax.lax.dynamic_update_index_in_dim(arr, new, depth, 1)
+                idx = jnp.where(mask, lane_ids, nrec)
+                return arr.at[idx, depth].set(value, mode="drop")
 
             r = r.replace(
                 position=put("position", si.p, store),
@@ -242,7 +251,9 @@ def _bounce_body(scene, tree_prev, seed0, pass_index, iteration,
         s["prev_pdf"] = jnp.where(alive, wo_pdf, s["prev_pdf"])
         s["prev_delta"] = jnp.where(alive, bs["delta"], s["prev_delta"])
         s["depth"] = depth + 1
-        return s
+        from .path_tracer import _PT_KEYS1, _PT_KEYS3, compact_wavefront
+
+        return compact_wavefront(s, list(_PT_KEYS3), list(_PT_KEYS1))
 
 
 _bounce_step = jax.jit(_bounce_body, static_argnames=("bsdf_fraction",))
@@ -253,20 +264,21 @@ def render_guided_wavefront(
     record: bool, bsdf_fraction: float = 0.5,
 ):
     """Single-jit guided wavefront (lax.while_loop) — CPU / shard_map path."""
-    state = _init_state(scene, px, py, record)
+    state = _init_state(scene, px, py, lane_ids, record)
     max_depth = scene.max_depth
 
     def cond(s):
-        return (s["depth"] < max_depth) & jnp.any(s["active"])
+        return (s["depth"] < max_depth) & (s["n_live"] > 0)
 
     def body(s):
         return _bounce_body(
-            scene, tree_prev, seed0, pass_index, iteration, bsdf_fraction,
-            lane_ids, s,
+            scene, tree_prev, seed0, pass_index, iteration, bsdf_fraction, s
         )
 
     final = jax.lax.while_loop(cond, body, state)
-    L = nan_to_zero(final["L"])
+    n = px.shape[0]
+    idx = final["lane"] - lane_ids[0]
+    L = nan_to_zero(jnp.zeros((n, 3)).at[idx].set(final["L"]))
     return L, final["rays_cast"], (final["recs"] if record else None)
 
 
@@ -279,16 +291,18 @@ def render_guided_wavefront_stepped(
 ):
     """Host-stepped guided wavefront: one jitted bounce per dispatch (the
     axon backend compiles Pallas-in-while_loop pathologically slowly)."""
-    state = _init_jit(scene, px, py, record)
+    state = _init_jit(scene, px, py, lane_ids, record)
     for depth in range(scene.max_depth):
         state = _bounce_step(
             scene, tree_prev, seed0, pass_index, iteration, bsdf_fraction,
-            lane_ids, state,
+            state,
         )
         if depth >= 8 and depth % 4 == 0:
-            if not bool(jnp.any(state["active"])):
+            if not int(state["n_live"]):
                 break
-    L = nan_to_zero(state["L"])
+    n = px.shape[0]
+    idx = state["lane"] - lane_ids[0]
+    L = nan_to_zero(jnp.zeros((n, 3)).at[idx].set(state["L"]))
     return L, state["rays_cast"], (state["recs"] if record else None)
 
 

@@ -20,12 +20,37 @@ from ..scene import emitters as em_mod
 from ..scene.camera import generate_rays
 
 
-def _init_state(scene, px, py):
+def compact_wavefront(s, keys3, keys1):
+    """Stable-partition live lanes to the front of the wavefront so the
+    intersection kernels can skip whole dead blocks (n_live watermark).
+    keys3/keys1: state keys holding (N,3) / (N,) arrays to reorder."""
+    alive = s["active"]
+    n = alive.shape[0]
+    n_live = jnp.sum(alive.astype(jnp.int32))
+    live_rank = jnp.cumsum(alive.astype(jnp.int32)) - 1
+    dead_rank = n_live + jnp.cumsum((~alive).astype(jnp.int32)) - 1
+    new_pos = jnp.where(alive, live_rank, dead_rank)
+    gather_idx = jnp.zeros(n, jnp.int32).at[new_pos].set(
+        jnp.arange(n, dtype=jnp.int32)
+    )
+    for k in keys3 + keys1:
+        s[k] = s[k][gather_idx]
+    s["n_live"] = n_live
+    return s
+
+
+_PT_KEYS3 = ("o", "d", "throughput", "L")
+_PT_KEYS1 = ("eta_scale", "active", "prev_pdf", "prev_delta", "lane")
+
+
+def _init_state(scene, px, py, lane_ids):
     n_rays = px.shape[0]
     sx = px / scene.camera.width
     sy = py / scene.camera.height
     ray = generate_rays(scene.camera, sx, sy)
     return {
+        "lane": lane_ids,
+        "n_live": jnp.int32(n_rays),
         "o": ray.o,
         "d": ray.d,
         "throughput": jnp.ones((n_rays, 3)),
@@ -39,14 +64,17 @@ def _init_state(scene, px, py):
     }
 
 
-def _bounce_body(scene, seed0, pass_index, lane_ids, s):
-    """One bounce of the wavefront; pure function of the state dict."""
+def _bounce_body(scene, seed0, pass_index, s):
+    """One bounce of the wavefront; pure function of the state dict.
+    Lanes are compacted live-first; randomness is keyed by s["lane"]
+    (original sample ids), so compaction never changes results."""
+    lane_ids = s["lane"]
     n_rays = lane_ids.shape[0]
     if True:
         s = dict(s)
         depth = s["depth"]
 
-        si = intersect(scene, s["o"], s["d"])
+        si = intersect(scene, s["o"], s["d"], n_live=s["n_live"])
         active = s["active"]
         s["rays_cast"] = s["rays_cast"] + jnp.sum(active.astype(jnp.float32))
         esc = active & ~si.valid
@@ -85,7 +113,10 @@ def _bounce_body(scene, seed0, pass_index, lane_ids, s):
         f_nee, pdf_bsdf_nee = bsdf_mod.eval_pdf(ctx, si.wi_world, nee["wo"])
         nee_ok = hit & nee["valid"] & (nee["pdf"] > 0)
         nee_ok = nee_ok & (dot(nee["wo"], si.n) > 0)  # same hemisphere as geo normal
-        shadowed = occluded(scene, si.p + si.n * 1e-4, nee["wo"], nee["dist"])
+        shadowed = occluded(
+            scene, si.p + si.n * 1e-4, nee["wo"], nee["dist"],
+            n_live=s["n_live"],
+        )
         nee_ok = nee_ok & ~shadowed
         s["rays_cast"] = s["rays_cast"] + jnp.sum(hit.astype(jnp.float32))
         w_nee = jnp.where(
@@ -119,7 +150,7 @@ def _bounce_body(scene, seed0, pass_index, lane_ids, s):
         s["prev_pdf"] = jnp.where(alive, bs["pdf"], s["prev_pdf"])
         s["prev_delta"] = jnp.where(alive, bs["delta"], s["prev_delta"])
         s["depth"] = depth + 1
-        return s
+        return compact_wavefront(s, list(_PT_KEYS3), list(_PT_KEYS1))
 
 
 _bounce_step = jax.jit(_bounce_body)
@@ -131,16 +162,21 @@ def render_wavefront(scene, seed0, pass_index, lane_ids, px, py):
     Single fused jit (lax.while_loop over bounces) — used on CPU and inside
     shard_map.
     """
-    state = _init_state(scene, px, py)
+    state = _init_state(scene, px, py, lane_ids)
 
     def cond(s):
-        return (s["depth"] < scene.max_depth) & jnp.any(s["active"])
+        return (s["depth"] < scene.max_depth) & (s["n_live"] > 0)
 
     def body(s):
-        return _bounce_body(scene, seed0, pass_index, lane_ids, s)
+        return _bounce_body(scene, seed0, pass_index, s)
 
     final = jax.lax.while_loop(cond, body, state)
-    return nan_to_zero(final["L"]), final["rays_cast"]
+    # un-permute the compacted lanes back to film order (lane ids are
+    # GLOBAL; subtract the shard-local base so this works under shard_map)
+    n = px.shape[0]
+    idx = final["lane"] - lane_ids[0]
+    L = jnp.zeros((n, 3)).at[idx].set(final["L"])
+    return nan_to_zero(L), final["rays_cast"]
 
 
 _init_jit = None
@@ -155,13 +191,16 @@ def render_wavefront_stepped(scene, seed0, pass_index, lane_ids, px, py):
     global _init_jit
     if _init_jit is None:
         _init_jit = jax.jit(_init_state)
-    state = _init_jit(scene, px, py)
+    state = _init_jit(scene, px, py, lane_ids)
     for depth in range(scene.max_depth):
-        state = _bounce_step(scene, seed0, pass_index, lane_ids, state)
+        state = _bounce_step(scene, seed0, pass_index, state)
         if depth >= 8 and depth % 4 == 0:
-            if not bool(jnp.any(state["active"])):
+            if not int(state["n_live"]):
                 break
-    return nan_to_zero(state["L"]), state["rays_cast"]
+    n = px.shape[0]
+    idx = state["lane"] - lane_ids[0]
+    L = jnp.zeros((n, 3)).at[idx].set(state["L"])
+    return nan_to_zero(L), state["rays_cast"]
 
 
 def render_pass(scene, seed0, pass_index, jitter=True):
