@@ -66,3 +66,54 @@ def render_pass_sharded(scene, mesh: Mesh, seed0: int, pass_index: int):
     )
     L, rays = fn(lane_ids, px, py)
     return L, px, py, rays
+
+
+def guided_train_step_sharded(
+    scene, tree_dev, mesh: Mesh, seed0: int, pass_index: int, iteration,
+    bsdf_fraction: float = 0.5,
+):
+    """One FULL guided training pass sharded over the mesh: each device
+    traces its pixel slice, reconstructs and splats its records locally,
+    then the SD-tree leaf histograms are all-reduced with psum (the only
+    cross-device traffic the algorithm needs, SURVEY.md section 2.3).
+
+    Returns (L (N,3) sharded back to film order, rays_cast, updated tree
+    with globally-reduced accumulators)."""
+    from ..render.guided import process_and_splat, render_guided_wavefront
+
+    w, h = scene.camera.width, scene.camera.height
+    n_dev = mesh.devices.size
+    assert h % n_dev == 0
+    yy, xx = jnp.meshgrid(
+        jnp.arange(h, dtype=jnp.float32),
+        jnp.arange(w, dtype=jnp.float32),
+        indexing="ij",
+    )
+    lane_ids = jnp.arange(w * h, dtype=jnp.int32)
+    u1, u2 = rng.uniform2(seed0, pass_index, 0, rng.PurposeId.CAMERA, lane_ids)
+    px = xx.reshape(-1) + u1
+    py = yy.reshape(-1) + u2
+
+    def shard_fn(tree, lane_s, px_s, py_s):
+        L, rays, recs = render_guided_wavefront(
+            scene, tree, seed0, pass_index, lane_s, px_s, py_s, iteration,
+            record=True, bsdf_fraction=bsdf_fraction,
+        )
+        tree2 = process_and_splat(tree, recs, L)
+        # all-reduce the splat histograms over ICI
+        tree2 = tree2.replace(
+            kd_vert_acc=jax.lax.psum(tree2.kd_vert_acc, "dp"),
+            q_irr_acc=jax.lax.psum(tree2.q_irr_acc, "dp"),
+        )
+        rays = jax.lax.psum(rays, "dp")
+        return L, rays, tree2
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P("dp"), P("dp"), P("dp")),
+        out_specs=(P("dp"), P(), P()),
+        check_vma=False,
+    )
+    L, rays, tree2 = fn(tree_dev, lane_ids, px, py)
+    return L, rays, tree2

@@ -36,6 +36,7 @@ def _init_state(scene, px, py, lane_ids, record: bool):
     ray = generate_rays(scene.camera, sx, sy)
     state = {
         "lane": lane_ids,
+        "lane_base": lane_ids[0],
         "n_live": jnp.int32(n_rays),
         "o": ray.o,
         "d": ray.d,
@@ -202,12 +203,13 @@ def _bounce_body(scene, tree_prev, seed0, pass_index, iteration,
             r = s["recs"]
 
             nrec = getattr(r, "wo_pdf").shape[0]
+            rec_idx = lane_ids - s["lane_base"]  # shard-local row
 
             def put(field, value, mask):
-                # scatter at ORIGINAL lane ids; masked-off lanes write out of
-                # bounds and are dropped
+                # scatter at original (shard-local) lane rows; masked-off
+                # lanes write out of bounds and are dropped
                 arr = getattr(r, field)
-                idx = jnp.where(mask, lane_ids, nrec)
+                idx = jnp.where(mask, rec_idx, nrec)
                 return arr.at[idx, depth].set(value, mode="drop")
 
             r = r.replace(

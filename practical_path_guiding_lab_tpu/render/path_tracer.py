@@ -23,20 +23,32 @@ from ..scene.camera import generate_rays
 def compact_wavefront(s, keys3, keys1):
     """Stable-partition live lanes to the front of the wavefront so the
     intersection kernels can skip whole dead blocks (n_live watermark).
-    keys3/keys1: state keys holding (N,3) / (N,) arrays to reorder."""
+
+    Compaction itself costs a dozen row-gathers over the full wavefront, so
+    it only runs when the live set has at least halved since the last
+    compaction (lanes only ever die, so the old watermark stays valid when
+    we skip). keys3/keys1: state keys holding (N,3) / (N,) arrays."""
     alive = s["active"]
     n = alive.shape[0]
     n_live = jnp.sum(alive.astype(jnp.int32))
-    live_rank = jnp.cumsum(alive.astype(jnp.int32)) - 1
-    dead_rank = n_live + jnp.cumsum((~alive).astype(jnp.int32)) - 1
-    new_pos = jnp.where(alive, live_rank, dead_rank)
-    gather_idx = jnp.zeros(n, jnp.int32).at[new_pos].set(
-        jnp.arange(n, dtype=jnp.int32)
-    )
-    for k in keys3 + keys1:
-        s[k] = s[k][gather_idx]
-    s["n_live"] = n_live
-    return s
+
+    def do_compact(s):
+        s = dict(s)
+        live_rank = jnp.cumsum(alive.astype(jnp.int32)) - 1
+        dead_rank = n_live + jnp.cumsum((~alive).astype(jnp.int32)) - 1
+        new_pos = jnp.where(alive, live_rank, dead_rank)
+        gather_idx = jnp.zeros(n, jnp.int32).at[new_pos].set(
+            jnp.arange(n, dtype=jnp.int32)
+        )
+        for k in keys3 + keys1:
+            s[k] = s[k][gather_idx]
+        s["n_live"] = n_live
+        return s
+
+    def skip(s):
+        return dict(s)
+
+    return jax.lax.cond(n_live * 2 < s["n_live"], do_compact, skip, s)
 
 
 _PT_KEYS3 = ("o", "d", "throughput", "L")
@@ -50,6 +62,7 @@ def _init_state(scene, px, py, lane_ids):
     ray = generate_rays(scene.camera, sx, sy)
     return {
         "lane": lane_ids,
+        "lane_base": lane_ids[0],
         "n_live": jnp.int32(n_rays),
         "o": ray.o,
         "d": ray.d,
