@@ -124,15 +124,19 @@ def intersect(scene, o, d, t_near=None, t_far=None, n_live=None) -> Intersection
         t_near = jnp.full((n,), 1e-4)
     if t_far is None:
         t_far = jnp.full((n,), jnp.inf)
-    if _use_pallas() and "soa" in scene.tris:
-        from ..ops.pallas.intersect import pallas_closest_hit
+    if _use_pallas() and "soa_c" in scene.tris:
+        from ..ops.pallas.intersect import (
+            CLUSTER_SIZE,
+            pallas_closest_hit_clustered,
+        )
 
-        tt, ti, tu, tv = pallas_closest_hit(
-            scene.tris["soa"], o, d, t_near,
+        tt, slot, tu, tv = pallas_closest_hit_clustered(
+            scene.tris["soa_c"], scene.tris["cluster_bounds"], o, d, t_near,
             jnp.where(jnp.isfinite(t_far), t_far, 1e30),
-            int(scene.tris["soa"].shape[0]),
+            int(scene.tris["soa_c"].shape[0]) // CLUSTER_SIZE,
             n_live=n_live,
         )
+        ti = jnp.where(slot >= 0, scene.tris["soa_map"][jnp.maximum(slot, 0)], -1)
         tt = jnp.where(ti >= 0, tt, jnp.inf)
     else:
         tt, ti, tu, tv = _scan_triangles(o, d, scene.tris, t_near, t_far)
@@ -220,13 +224,16 @@ def occluded(scene, o, d, t_max, n_live=None) -> jnp.ndarray:
     n = o.shape[0]
     t_near = jnp.full((n,), 1e-4)
     t_far = t_max * (1.0 - 1e-3)
-    if _use_pallas() and "soa" in scene.tris:
-        from ..ops.pallas.intersect import pallas_any_hit
+    if _use_pallas() and "soa_c" in scene.tris:
+        from ..ops.pallas.intersect import (
+            CLUSTER_SIZE,
+            pallas_any_hit_clustered,
+        )
 
-        hit_tri = pallas_any_hit(
-            scene.tris["soa"], o, d, t_near,
+        hit_tri = pallas_any_hit_clustered(
+            scene.tris["soa_c"], scene.tris["cluster_bounds"], o, d, t_near,
             jnp.where(jnp.isfinite(t_far), t_far, 1e30),
-            int(scene.tris["soa"].shape[0]),
+            int(scene.tris["soa_c"].shape[0]) // CLUSTER_SIZE,
             n_live=n_live,
         )
     else:

@@ -236,3 +236,218 @@ def build_tri_soa(v0, v1, v2) -> np.ndarray:
     soa[:t, 3:6] = v1 - v0
     soa[:t, 6:9] = v2 - v0
     return soa
+
+
+# ===========================================================================
+# Clustered kernels: tile-level AABB culling (accel/cluster.py layout)
+# ===========================================================================
+
+CLUSTER_SIZE = 64
+
+
+def _slab_test(row, o_x, o_y, o_z, ix, iy, iz, t_near, best_t):
+    """Ray-tile vs cluster-AABB slab test -> per-lane may-hit mask."""
+    t0 = (row[0] - o_x) * ix
+    t1 = (row[4] - o_x) * ix
+    tmin = jnp.minimum(t0, t1)
+    tmax = jnp.maximum(t0, t1)
+    t0 = (row[1] - o_y) * iy
+    t1 = (row[5] - o_y) * iy
+    tmin = jnp.maximum(tmin, jnp.minimum(t0, t1))
+    tmax = jnp.minimum(tmax, jnp.maximum(t0, t1))
+    t0 = (row[2] - o_z) * iz
+    t1 = (row[6] - o_z) * iz
+    tmin = jnp.maximum(tmin, jnp.minimum(t0, t1))
+    tmax = jnp.minimum(tmax, jnp.maximum(t0, t1))
+    return (tmax >= tmin) & (tmax > t_near) & (tmin < best_t)
+
+
+def _safe_inv(d):
+    return 1.0 / jnp.where(jnp.abs(d) > 1e-20, d, 1e-20)
+
+
+def _closest_hit_clustered_kernel(
+    n_live_ref, cb_ref, tri_ref, ox, oy, oz, dx, dy, dz, tn, tf,
+    t_out, i_out, u_out, v_out, *, n_clusters,
+):
+    step_base = pl.program_id(0) * RAY_ROWS * LANE_BLOCK
+    t_out[:] = tf[:]
+    i_out[:] = jnp.full(ox.shape, -1, jnp.int32)
+    u_out[:] = jnp.zeros(ox.shape, jnp.float32)
+    v_out[:] = jnp.zeros(ox.shape, jnp.float32)
+
+    @pl.when(step_base < n_live_ref[0])
+    def _run():
+        o_x, o_y, o_z = ox[:], oy[:], oz[:]
+        d_x, d_y, d_z = dx[:], dy[:], dz[:]
+        ix, iy, iz = _safe_inv(d_x), _safe_inv(d_y), _safe_inv(d_z)
+        t_near = tn[:]
+        n_blk = CLUSTER_SIZE // TRI_SUB
+
+        def cluster_body(c, carry):
+            best_t = carry[0]
+            row = cb_ref[c]
+            may_hit = _slab_test(row, o_x, o_y, o_z, ix, iy, iz, t_near, best_t)
+
+            def process(carry):
+                def inner(jj, carry):
+                    best_t, best_i, best_u, best_v = carry
+                    base = c * CLUSTER_SIZE + jj * TRI_SUB
+                    blk = tri_ref[pl.ds(base, TRI_SUB), :]
+                    for j in range(TRI_SUB):
+                        tt, u, v, ok = _mt_one(
+                            blk[j, 0], blk[j, 1], blk[j, 2],
+                            blk[j, 3], blk[j, 4], blk[j, 5],
+                            blk[j, 6], blk[j, 7], blk[j, 8],
+                            o_x, o_y, o_z, d_x, d_y, d_z,
+                        )
+                        ok = ok & (tt > t_near) & (tt < best_t)
+                        best_t = jnp.where(ok, tt, best_t)
+                        best_i = jnp.where(ok, base + j, best_i)
+                        best_u = jnp.where(ok, u, best_u)
+                        best_v = jnp.where(ok, v, best_v)
+                    return best_t, best_i, best_u, best_v
+
+                return jax.lax.fori_loop(0, n_blk, inner, carry)
+
+            return jax.lax.cond(jnp.any(may_hit), process, lambda cr: cr, carry)
+
+        init = (
+            tf[:],
+            jnp.full(ox.shape, -1, jnp.int32),
+            jnp.zeros(ox.shape, jnp.float32),
+            jnp.zeros(ox.shape, jnp.float32),
+        )
+        best_t, best_i, best_u, best_v = jax.lax.fori_loop(
+            0, n_clusters, cluster_body, init
+        )
+        t_out[:] = best_t
+        i_out[:] = best_i
+        u_out[:] = best_u
+        v_out[:] = best_v
+
+
+def _any_hit_clustered_kernel(
+    n_live_ref, cb_ref, tri_ref, ox, oy, oz, dx, dy, dz, tn, tf, hit_out,
+    *, n_clusters,
+):
+    step_base = pl.program_id(0) * RAY_ROWS * LANE_BLOCK
+    hit_out[:] = jnp.zeros(ox.shape, jnp.bool_)
+
+    @pl.when(step_base < n_live_ref[0])
+    def _run():
+        o_x, o_y, o_z = ox[:], oy[:], oz[:]
+        d_x, d_y, d_z = dx[:], dy[:], dz[:]
+        ix, iy, iz = _safe_inv(d_x), _safe_inv(d_y), _safe_inv(d_z)
+        t_near = tn[:]
+        t_far = tf[:]
+        n_blk = CLUSTER_SIZE // TRI_SUB
+
+        def cluster_body(c, hit):
+            row = cb_ref[c]
+            may_hit = _slab_test(row, o_x, o_y, o_z, ix, iy, iz, t_near, t_far)
+
+            def process(hit):
+                def inner(jj, hit):
+                    base = c * CLUSTER_SIZE + jj * TRI_SUB
+                    blk = tri_ref[pl.ds(base, TRI_SUB), :]
+                    for j in range(TRI_SUB):
+                        tt, u, v, ok = _mt_one(
+                            blk[j, 0], blk[j, 1], blk[j, 2],
+                            blk[j, 3], blk[j, 4], blk[j, 5],
+                            blk[j, 6], blk[j, 7], blk[j, 8],
+                            o_x, o_y, o_z, d_x, d_y, d_z,
+                        )
+                        ok = ok & (tt > t_near) & (tt < t_far)
+                        hit = jnp.maximum(hit, ok.astype(jnp.float32))
+                    return hit
+
+                return jax.lax.fori_loop(0, n_blk, inner, hit)
+
+            return jax.lax.cond(jnp.any(may_hit), process, lambda h: h, hit)
+
+        hit = jax.lax.fori_loop(
+            0, n_clusters, cluster_body, jnp.zeros(ox.shape, jnp.float32)
+        )
+        hit_out[:] = hit > 0.0
+
+
+@partial(jax.jit, static_argnames=("n_clusters",))
+def pallas_closest_hit_clustered(
+    tri_soa_c, cluster_bounds, o, d, t_near, t_far, n_clusters: int,
+    n_live=None,
+):
+    """Clustered closest-hit: tri_soa_c (C*64, 16) reordered by
+    accel.cluster; returns slot indices into the clustered layout."""
+    n = o.shape[0]
+    rows_pad, n_pad = _plan(n)
+    if n_live is None:
+        n_live = jnp.int32(n)
+    planes = _common_planes(o, d, t_near, t_far, n_pad)
+    ray_spec = pl.BlockSpec(
+        (RAY_ROWS, LANE_BLOCK), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        partial(_closest_hit_clustered_kernel, n_clusters=n_clusters),
+        grid=(rows_pad // RAY_ROWS,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ]
+        + [ray_spec] * 8,
+        out_specs=[ray_spec] * 4,
+        out_shape=[
+            jax.ShapeDtypeStruct((rows_pad, LANE_BLOCK), jnp.float32),
+            jax.ShapeDtypeStruct((rows_pad, LANE_BLOCK), jnp.int32),
+            jax.ShapeDtypeStruct((rows_pad, LANE_BLOCK), jnp.float32),
+            jax.ShapeDtypeStruct((rows_pad, LANE_BLOCK), jnp.float32),
+        ],
+    )(jnp.asarray(n_live, jnp.int32).reshape(1), cluster_bounds, tri_soa_c,
+      *planes)
+    t, i, u, v = (x.reshape(-1)[:n] for x in out)
+    return t, i, u, v
+
+
+@partial(jax.jit, static_argnames=("n_clusters",))
+def pallas_any_hit_clustered(
+    tri_soa_c, cluster_bounds, o, d, t_near, t_far, n_clusters: int,
+    n_live=None,
+):
+    n = o.shape[0]
+    rows_pad, n_pad = _plan(n)
+    if n_live is None:
+        n_live = jnp.int32(n)
+    planes = _common_planes(o, d, t_near, t_far, n_pad)
+    ray_spec = pl.BlockSpec(
+        (RAY_ROWS, LANE_BLOCK), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        partial(_any_hit_clustered_kernel, n_clusters=n_clusters),
+        grid=(rows_pad // RAY_ROWS,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ]
+        + [ray_spec] * 8,
+        out_specs=ray_spec,
+        out_shape=jax.ShapeDtypeStruct((rows_pad, LANE_BLOCK), jnp.bool_),
+    )(jnp.asarray(n_live, jnp.int32).reshape(1), cluster_bounds, tri_soa_c,
+      *planes)
+    return out.reshape(-1)[:n]
+
+
+def build_clustered_soa(v0, v1, v2):
+    """Host: cluster + reorder -> (soa_c (C*64,16), bounds (C,8),
+    slot->orig map (C*64,) int32 with -1 padding, n_clusters)."""
+    from ...accel.cluster import build_clusters
+
+    order, bounds, nc = build_clusters(v0, v1, v2)
+    soa_c = np.zeros((max(nc, 1) * CLUSTER_SIZE, 16), np.float32)
+    valid = order >= 0
+    src = np.maximum(order, 0)
+    soa_c[valid, 0:3] = v0[src[valid]]
+    soa_c[valid, 3:6] = (v1 - v0)[src[valid]]
+    soa_c[valid, 6:9] = (v2 - v0)[src[valid]]
+    return soa_c, bounds, order.astype(np.int32), nc

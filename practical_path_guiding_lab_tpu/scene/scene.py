@@ -168,10 +168,17 @@ def compile_scene(desc: SceneDesc) -> Scene:
     tris["v0b"] = tris["v0"].reshape(nb, TRI_BLOCK, 3)
     tris["e1b"] = tris["e1"].reshape(nb, TRI_BLOCK, 3)
     tris["e2b"] = tris["e2"].reshape(nb, TRI_BLOCK, 3)
-    # SoA layout for the Pallas kernels (ops/pallas/intersect.py)
-    from ..ops.pallas.intersect import build_tri_soa
+    # SoA layouts for the Pallas kernels (ops/pallas/intersect.py):
+    # brute-force order + clustered order with AABB culling tables
+    from ..ops.pallas.intersect import build_clustered_soa, build_tri_soa
 
     tris["soa"] = build_tri_soa(tris_np["v0"], tris_np["v1"], tris_np["v2"])
+    soa_c, cbounds, cmap, n_clusters = build_clustered_soa(
+        tris_np["v0"], tris_np["v1"], tris_np["v2"]
+    )
+    tris["soa_c"] = soa_c
+    tris["cluster_bounds"] = cbounds
+    tris["soa_map"] = cmap
 
     # scene bbox over real geometry
     pts = [tris_np["v0"], tris_np["v1"], tris_np["v2"]]
