@@ -1,0 +1,245 @@
+// Native SD-tree host engine: bottom-up propagation, kd/quad refinement,
+// deep copies and compaction over the fixed-capacity arrays owned by
+// guiding/sdtree.py. Semantics mirror the Python implementation exactly
+// (which mirrors the reference: kd split at vertCount > threshold with
+// vertCount/2 per child, kdtree.py:229-358; quad merge-below/split-above
+// 1%-of-root-flux with irradiance/4 per child, quadtree.py:512-637;
+// compaction quadtree.py:844-851). The Python paths remain as the
+// reference implementation for differential testing.
+//
+// Build: g++ -O2 -shared -fPIC -o _sdtree_native.so sdtree_native.cpp
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------
+// bottom-up sums (children always have larger indices)
+// ---------------------------------------------------------------------
+
+void kd_propagate(const double* leaf_vals, double* out, const int32_t* left,
+                  int64_t count) {
+  std::memcpy(out, leaf_vals, count * sizeof(double));
+  for (int64_t i = count - 1; i >= 0; --i) {
+    int32_t l = left[i];
+    if (l >= 0) out[i] += out[l] + out[l + 1];
+  }
+}
+
+void quad_propagate(const double* leaf_vals, double* out,
+                    const int32_t* child, int64_t count) {
+  std::memcpy(out, leaf_vals, count * sizeof(double));
+  for (int64_t i = count - 1; i >= 0; --i) {
+    const int32_t* c = child + i * 4;
+    if (c[0] >= 0) out[i] += out[c[0]] + out[c[1]] + out[c[2]] + out[c[3]];
+  }
+}
+
+// ---------------------------------------------------------------------
+// quadtree helpers
+// ---------------------------------------------------------------------
+
+struct QuadArrays {
+  int32_t* child;    // (cap, 4)
+  double* irr;       // (cap,)
+  int32_t* depth;    // (cap,)
+  float* thresh;     // (cap,)
+  int64_t count;
+  int64_t cap;
+};
+
+static int64_t quad_alloc(QuadArrays& q, int64_t n) {
+  if (q.count + n > q.cap) return -1;
+  int64_t base = q.count;
+  q.count += n;
+  return base;
+}
+
+static int64_t quad_deep_copy(QuadArrays& q, int64_t root) {
+  if (root < 0) return -1;
+  int64_t new_root = quad_alloc(q, 1);
+  if (new_root < 0) return -2;
+  for (int k = 0; k < 4; ++k) q.child[new_root * 4 + k] = -1;
+  q.irr[new_root] = q.irr[root];
+  q.depth[new_root] = 0;
+  q.thresh[new_root] = q.thresh[root];
+  std::vector<std::pair<int64_t, int64_t>> stack{{root, new_root}};
+  while (!stack.empty()) {
+    auto [src, dst] = stack.back();
+    stack.pop_back();
+    if (q.child[src * 4] < 0) continue;
+    int64_t base = quad_alloc(q, 4);
+    if (base < 0) return -2;
+    for (int c = 0; c < 4; ++c) {
+      int64_t sc = q.child[src * 4 + c];
+      int64_t dc = base + c;
+      q.child[dst * 4 + c] = (int32_t)dc;
+      for (int k = 0; k < 4; ++k) q.child[dc * 4 + k] = -1;
+      q.irr[dc] = q.irr[sc];
+      q.depth[dc] = q.depth[dst] + 1;
+      q.thresh[dc] = q.thresh[sc];
+      stack.push_back({sc, dc});
+    }
+  }
+  return new_root;
+}
+
+// ---------------------------------------------------------------------
+// kd refinement (iterated split; right child gets a quadtree deep copy)
+// ---------------------------------------------------------------------
+
+// Returns 0 ok, -1 kd capacity exceeded, -2 quad capacity exceeded.
+int kd_refine(int32_t* kd_left, uint8_t* kd_leaf, int32_t* kd_depth,
+              double* kd_vert, int32_t* kd_quad_root, int64_t* kd_count,
+              int64_t kd_cap, int32_t kd_max_depth, double threshold,
+              double max_leaf_size,
+              int32_t* q_child, double* q_irr, int32_t* q_depth,
+              float* q_thresh, int64_t* q_count, int64_t q_cap) {
+  QuadArrays q{q_child, q_irr, q_depth, q_thresh, *q_count, q_cap};
+  std::vector<int64_t> work;
+  for (int64_t i = 0; i < *kd_count; ++i)
+    if (kd_leaf[i]) work.push_back(i);
+  double limit = threshold * max_leaf_size;
+  while (!work.empty()) {
+    std::vector<int64_t> next;
+    for (int64_t i : work) {
+      if (!kd_leaf[i] || kd_vert[i] <= limit || kd_depth[i] >= kd_max_depth)
+        continue;
+      if (*kd_count + 2 > kd_cap) return -1;
+      int64_t l = *kd_count;
+      *kd_count += 2;
+      int32_t root = kd_quad_root[i];
+      kd_left[i] = (int32_t)l;
+      kd_leaf[i] = 0;
+      for (int c = 0; c < 2; ++c) {
+        int64_t ci = l + c;
+        kd_leaf[ci] = 1;
+        kd_left[ci] = -1;
+        kd_depth[ci] = kd_depth[i] + 1;
+        kd_vert[ci] = kd_vert[i] / 2.0;
+      }
+      kd_quad_root[l] = root;
+      kd_quad_root[i] = -1;  // internal nodes own no quadtree
+      int64_t copy = quad_deep_copy(q, root);
+      if (copy == -2) return -2;
+      kd_quad_root[l + 1] = (int32_t)copy;
+      next.push_back(l);
+      next.push_back(l + 1);
+    }
+    work.swap(next);
+  }
+  *q_count = q.count;
+  return 0;
+}
+
+// ---------------------------------------------------------------------
+// quad refinement: per live root, merge below threshold then split above
+// ---------------------------------------------------------------------
+
+int quad_refine(const int32_t* kd_quad_root, const uint8_t* kd_leaf,
+                int64_t kd_count, int32_t* q_child, double* q_irr,
+                int32_t* q_depth, float* q_thresh, int64_t* q_count,
+                int64_t q_cap, int32_t quad_max_depth, double flux_fraction) {
+  QuadArrays q{q_child, q_irr, q_depth, q_thresh, *q_count, q_cap};
+  std::vector<uint8_t> seen(q.cap, 0);
+  std::vector<int64_t> stack;
+  for (int64_t i = 0; i < kd_count; ++i) {
+    if (!kd_leaf[i]) continue;
+    int64_t root = kd_quad_root[i];
+    if (root < 0 || seen[root]) continue;
+    seen[root] = 1;
+    double thresh = q.irr[root] * flux_fraction;
+    // merge pass
+    stack.assign(1, root);
+    while (!stack.empty()) {
+      int64_t n = stack.back();
+      stack.pop_back();
+      if (q.child[n * 4] < 0) continue;
+      if (q.irr[n] < thresh && n != root) {
+        for (int k = 0; k < 4; ++k) q.child[n * 4 + k] = -1;
+      } else {
+        for (int k = 0; k < 4; ++k) stack.push_back(q.child[n * 4 + k]);
+      }
+    }
+    // split pass (iterated)
+    stack.assign(1, root);
+    while (!stack.empty()) {
+      int64_t n = stack.back();
+      stack.pop_back();
+      if (q.child[n * 4] >= 0) {
+        for (int k = 0; k < 4; ++k) stack.push_back(q.child[n * 4 + k]);
+        continue;
+      }
+      if (q.irr[n] > thresh && q.depth[n] < quad_max_depth) {
+        int64_t base = quad_alloc(q, 4);
+        if (base < 0) return -2;
+        for (int c = 0; c < 4; ++c) {
+          int64_t ci = base + c;
+          q.child[n * 4 + c] = (int32_t)ci;
+          for (int k = 0; k < 4; ++k) q.child[ci * 4 + k] = -1;
+          q.irr[ci] = q.irr[n] / 4.0;
+          q.depth[ci] = q.depth[n] + 1;
+          q.thresh[ci] = (float)thresh;
+          stack.push_back(ci);
+        }
+      }
+    }
+    q.thresh[root] = (float)thresh;
+  }
+  *q_count = q.count;
+  return 0;
+}
+
+// ---------------------------------------------------------------------
+// compaction: keep only nodes reachable from live roots, renumber DFS
+// ---------------------------------------------------------------------
+
+int quad_compact(int32_t* kd_quad_root, const uint8_t* kd_leaf,
+                 int64_t kd_count, int32_t* q_child, double* q_irr,
+                 int32_t* q_depth, float* q_thresh, int64_t* q_count,
+                 int64_t q_cap) {
+  std::vector<int32_t> new_child(q_cap * 4, -1);
+  std::vector<double> new_irr(q_cap, 0.0);
+  std::vector<int32_t> new_depth(q_cap, 0);
+  std::vector<float> new_thresh(q_cap, 0.0f);
+  std::vector<int32_t> remap(q_cap, -1);
+  int64_t count = 0;
+  std::vector<int64_t> stack;
+  for (int64_t i = 0; i < kd_count; ++i) {
+    if (!kd_leaf[i]) continue;
+    int64_t root = kd_quad_root[i];
+    if (root < 0 || remap[root] >= 0) continue;
+    remap[root] = (int32_t)count++;
+    stack.assign(1, root);
+    while (!stack.empty()) {
+      int64_t n = stack.back();
+      stack.pop_back();
+      int64_t ni = remap[n];
+      new_irr[ni] = q_irr[n];
+      new_depth[ni] = q_depth[n];
+      new_thresh[ni] = q_thresh[n];
+      if (q_child[n * 4] >= 0) {
+        for (int c = 0; c < 4; ++c) {
+          int64_t ci = q_child[n * 4 + c];
+          remap[ci] = (int32_t)count;
+          new_child[ni * 4 + c] = (int32_t)count;
+          ++count;
+          stack.push_back(ci);
+        }
+      }
+    }
+  }
+  std::memcpy(q_child, new_child.data(), q_cap * 4 * sizeof(int32_t));
+  std::memcpy(q_irr, new_irr.data(), q_cap * sizeof(double));
+  std::memcpy(q_depth, new_depth.data(), q_cap * sizeof(int32_t));
+  std::memcpy(q_thresh, new_thresh.data(), q_cap * sizeof(float));
+  for (int64_t i = 0; i < kd_count; ++i) {
+    int32_t r = kd_quad_root[i];
+    if (r >= 0 && remap[r] >= 0) kd_quad_root[i] = remap[r];
+  }
+  *q_count = count > 0 ? count : 1;
+  return 0;
+}
+
+}  // extern "C"

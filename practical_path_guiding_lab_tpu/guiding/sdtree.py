@@ -339,10 +339,14 @@ class SDTree:
     def absorb_accumulators(self, dev: SDTreeDevice):
         """Pull leaf accumulators from device and propagate sums bottom-up
         (equivalent to the reference's on-path splatting)."""
-        kd_acc = np.asarray(dev.kd_vert_acc, np.float64)
-        q_acc = np.asarray(dev.q_irr_acc, np.float64)
-        self.kd_vert += self._kd_propagate(kd_acc)
-        self.q_irr += self._quad_propagate(q_acc)
+        from . import native
+
+        kd_acc = np.ascontiguousarray(np.asarray(dev.kd_vert_acc, np.float64))
+        q_acc = np.ascontiguousarray(np.asarray(dev.q_irr_acc, np.float64))
+        kd = native.kd_propagate(kd_acc, self.kd_left, self.kd_count)
+        qd = native.quad_propagate(q_acc, self.q_child, self.q_count)
+        self.kd_vert += kd if kd is not None else self._kd_propagate(kd_acc)
+        self.q_irr += qd if qd is not None else self._quad_propagate(q_acc)
 
     def _kd_propagate(self, leaf_vals):
         out = leaf_vals.copy()
@@ -370,6 +374,10 @@ class SDTree:
         self.kd_threshold = KD_SPLIT_C * np.sqrt(2.0**iteration)
 
     def refine(self):
+        from . import native
+
+        if native.refine(self):  # C++ engine; Python below is the reference
+            return
         self._kd_refine()
         self._quad_refine()
         self._compact_quad()
@@ -413,6 +421,7 @@ class SDTree:
                     self._kd_split_node(i)
                     l = self.kd_left[i]
                     self.kd_quad_root[l] = root
+                    self.kd_quad_root[i] = -1  # internal nodes own no tree
                     self.kd_quad_root[l + 1] = self._quad_deep_copy(root)
                     nxt += [l, l + 1]
             work = nxt
@@ -522,7 +531,11 @@ class SDTree:
         """Drop unreachable quad nodes (clearTreeUnusedNode,
         quadtree.py:844-851) and renumber depth-first."""
         roots = self.kd_quad_root[: self.kd_count]
-        live_roots = [int(r) for r, leaf in zip(roots, self.kd_leaf[: self.kd_count]) if r >= 0]
+        live_roots = [
+            int(r)
+            for r, leaf in zip(roots, self.kd_leaf[: self.kd_count])
+            if leaf and r >= 0
+        ]
         remap = {}
         new_child = np.full((self.quad_capacity, 4), -1, np.int32)
         new_irr = np.zeros(self.quad_capacity, np.float64)

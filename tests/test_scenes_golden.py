@@ -1,0 +1,98 @@
+"""Golden-image statistical oracles for the wider scene corpus
+(SURVEY.md section 4.3): render small, compare brightness and structure
+against the bundled Tungsten ground truths.
+
+Thresholds are loose where the corpus itself is degraded (missing mesh
+blobs: teapot bodies, veach-ajar pots) or where low-spp noise dominates
+(glossy/caustic transport); cornell-box has the tight check
+(tests/test_render.py). veach-mis exercises sphere emitters +
+roughconductor + MIS; teapot (scene_v3, which matches the GT) exercises
+envmap + plastic + checkerboard.
+"""
+import warnings
+
+import numpy as np
+import pytest
+
+from practical_path_guiding_lab_tpu.io import exr
+from practical_path_guiding_lab_tpu.render.integrator import PathTracingIntegrator
+from practical_path_guiding_lab_tpu.scene import load_file
+from practical_path_guiding_lab_tpu.scene.scene import compile_scene
+
+SCENES = "/root/reference/scenes"
+lum = lambda x: x @ np.array([0.212671, 0.71516, 0.072169])
+
+
+def _render(name, fn, rx, ry, spp):
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        d = load_file(f"{SCENES}/{name}/{fn}", resx=rx, resy=ry)
+        s = compile_scene(d)
+    integ = PathTracingIntegrator(s)
+    acc = None
+    for p in range(spp):
+        img, _ = integ.render_pass(0, p)
+        acc = img if acc is None else acc + img
+    img = np.asarray(acc) / spp
+    gt = exr.read(f"{SCENES}/{name}/TungstenRender.exr")
+    fy, fx = gt.shape[0] // ry, gt.shape[1] // rx
+    gtd = gt.reshape(ry, fy, rx, fx, 3).mean(axis=(1, 3))
+    return img, gtd
+
+
+def _stats(img, gt):
+    ratio = img.mean() / gt.mean()
+    corr = np.corrcoef(
+        lum(np.minimum(img, 20)).ravel(), lum(np.minimum(gt, 20)).ravel()
+    )[0, 1]
+    return ratio, corr
+
+
+def test_veach_mis_golden():
+    """Sphere area emitters + beckmann roughconductor + MIS."""
+    img, gt = _render("veach-mis", "scene.xml", 160, 90, 8)
+    ratio, corr = _stats(img, gt)
+    assert 0.9 < ratio < 1.1, f"brightness ratio {ratio}"
+    assert corr > 0.95, f"correlation {corr}"
+
+
+def test_teapot_v3_golden():
+    """Envmap emitter + checkerboard texture (+plastic when meshes exist).
+    scene_v3.xml is the variant the bundled GT was rendered from; its
+    teapot meshes are unfetched blobs, so only brightness is checked."""
+    img, gt = _render("teapot", "scene_v3.xml", 80, 45, 8)
+    ratio, corr = _stats(img, gt)
+    assert 0.7 < ratio < 1.3, f"brightness ratio {ratio}"
+
+
+def test_veach_bidir_golden():
+    """OBJ meshes + dielectric + hard indirect (lamp) transport."""
+    img, gt = _render("veach-bidir", "scene.xml", 64, 64, 8)
+    ratio, corr = _stats(img, gt)
+    assert 0.8 < ratio < 1.25, f"brightness ratio {ratio}"
+    assert corr > 0.6, f"correlation {corr}"
+
+
+def test_veach_ajar_golden():
+    """Textured scene, ggx conductors, strong light through a door gap.
+    (Pot meshes are unfetched blobs — both we and the reference render
+    without them.)"""
+    img, gt = _render("veach-ajar", "scene.xml", 80, 45, 8)
+    ratio, corr = _stats(img, gt)
+    assert 0.75 < ratio < 1.3, f"brightness ratio {ratio}"
+    assert corr > 0.4, f"correlation {corr}"
+
+
+def test_torus_renders():
+    """No GT EXR in the corpus (unfetched blob); smoke-check energy and
+    NaN-freeness of the serialized-mesh + roughdielectric + directional
+    emitter pipeline."""
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        d = load_file(f"{SCENES}/torus/scene.xml", resx=64, resy=48)
+        s = compile_scene(d)
+    integ = PathTracingIntegrator(s)
+    img, _ = integ.render_pass(0, 0)
+    img = np.asarray(img)
+    assert np.isfinite(img).all()
+    assert img.mean() > 0.01
