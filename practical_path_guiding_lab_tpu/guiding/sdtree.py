@@ -575,6 +575,39 @@ class SDTree:
     # iteration plumbing
     # ------------------------------------------------------------------ #
 
+    def validate(self):
+        """Structural invariant checks, the always-available analog of the
+        reference's validateTreeNodeBBox (kdtree.py:361-398,
+        quadtree.py:468-509): every live quadtree is acyclic, disjoint
+        between roots, children are in-range, and node sums conserve."""
+        nk, nq = self.kd_count, self.q_count
+        owner = {}
+        for i in range(nk):
+            if not self.kd_leaf[i]:
+                l = self.kd_left[i]
+                assert 0 < l < nk and l + 1 < nk, f"kd child out of range at {i}"
+                continue
+            root = int(self.kd_quad_root[i])
+            if root < 0:
+                continue
+            stack = [root]
+            while stack:
+                n = stack.pop()
+                assert 0 <= n < nq, f"quad node {n} out of range"
+                assert n not in owner or owner[n] == i, (
+                    f"quad node {n} shared between kd leaves {owner[n]} and {i}"
+                )
+                owner[n] = i
+                c = self.q_child[n]
+                if c[0] >= 0:
+                    assert (c >= 0).all() and (c < nq).all()
+                    s = self.q_irr[c].sum()
+                    assert abs(s - self.q_irr[n]) <= 1e-3 * max(
+                        self.q_irr[n], 1e-9
+                    ) + 1e-9, f"conservation violated at quad node {n}"
+                    stack += [int(x) for x in c]
+        return True
+
     def copy(self) -> "SDTree":
         import copy as _copy
 

@@ -13,7 +13,27 @@ import jax
 import jax.numpy as jnp
 
 from ..guiding.sdtree import SDTree
+from . import film as film_mod
 from . import variance as var_mod
+
+
+_SPLAT_JITS = {}
+
+
+def develop_pass_image(scene, L, px, py):
+    """Per-pass image with the scene's reconstruction filter (the metrics
+    buffers stay box-filtered, matching the reference whose sumL bypasses
+    the rfilter; the displayed image uses it, main.py:221-239)."""
+    key = scene.camera.width, scene.camera.height, scene.rfilter
+    if key not in _SPLAT_JITS:
+        w, h, rf = key
+
+        def fn(L, px, py):
+            img, wgt = film_mod.splat_filtered(w, h, px, py, L, rf)
+            return film_mod.develop(img, wgt)
+
+        _SPLAT_JITS[key] = jax.jit(fn)
+    return _SPLAT_JITS[key](L, px, py)
 from .guided import (
     _splat_jit,
     guided_wavefront_pass,
@@ -123,7 +143,7 @@ class PathGuidingIntegrator:
         self.sum_l, self.sum_l2 = var_mod.accumulate_moments(
             self.sum_l, self.sum_l2, L, px, py, self.scene.camera.width
         )
-        img = L.reshape(self.scene.camera.height, self.scene.camera.width, 3)
+        img = develop_pass_image(self.scene, L, px, py)
         return img, float(rays)
 
     # ------------------------------------------------------------------ #
@@ -194,7 +214,7 @@ class PathTracingIntegrator:
         self.sum_l, self.sum_l2 = var_mod.accumulate_moments(
             self.sum_l, self.sum_l2, L, px, py, self.scene.camera.width
         )
-        img = L.reshape(self.scene.camera.height, self.scene.camera.width, 3)
+        img = develop_pass_image(self.scene, L, px, py)
         return img, float(rays)
 
     computeVariance = PathGuidingIntegrator.computeVariance

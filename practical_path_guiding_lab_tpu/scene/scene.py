@@ -66,6 +66,7 @@ class Scene:
     rr_depth: int = struct.field(pytree_node=False, default=8)
     integrator: str = struct.field(pytree_node=False, default="path")
     name: str = struct.field(pytree_node=False, default="scene")
+    rfilter: str = struct.field(pytree_node=False, default="tent")
     # static set of BSDF families present — the vectorized dispatcher only
     # emits code for these (smaller programs, faster compiles & VPU time)
     used_kinds: tuple = struct.field(pytree_node=False, default=())
@@ -206,6 +207,7 @@ def compile_scene(desc: SceneDesc) -> Scene:
         rr_depth=desc.rr_depth,
         integrator=desc.integrator,
         name=desc.path.name,
+        rfilter=desc.sensor.rfilter,
         used_kinds=tuple(sorted(set(int(k) for k in np.asarray(materials.kind)))),
     )
 
