@@ -64,198 +64,197 @@ def _bounce_body(scene, tree_prev, seed0, pass_index, iteration,
     n_rays = lane_ids.shape[0]
     record = "recs" in s
     use_guiding = iteration > 1  # reference :223,283 — traced scalar is fine
-    if True:
-        s = dict(s)
-        depth = s["depth"]
+    s = dict(s)
+    depth = s["depth"]
 
-        si = intersect(scene, s["o"], s["d"], n_live=s["n_live"])
-        active = s["active"]
-        s["rays_cast"] = s["rays_cast"] + jnp.sum(active.astype(jnp.float32))
-        esc = active & ~si.valid
-        hit = active & si.valid
+    si = intersect(scene, s["o"], s["d"], n_live=s["n_live"])
+    active = s["active"]
+    s["rays_cast"] = s["rays_cast"] + jnp.sum(active.astype(jnp.float32))
+    esc = active & ~si.valid
+    hit = active & si.valid
 
-        L = s["L"]
-        tp = s["throughput"]
-        em = scene.emitters
+    L = s["L"]
+    tp = s["throughput"]
+    em = scene.emitters
 
-        # --- emission with MIS vs previous mixture pdf ---
-        Le = jnp.where(
-            (si.emitter >= 0)[:, None], em.radiance[jnp.maximum(si.emitter, 0)], 0.0
+    # --- emission with MIS vs previous mixture pdf ---
+    Le = jnp.where(
+        (si.emitter >= 0)[:, None], em.radiance[jnp.maximum(si.emitter, 0)], 0.0
+    )
+    Le = jnp.where(si.entering[:, None], Le, 0.0)
+    pdf_em_dir = em_mod.pdf_hit_dir(em, s["o"], s["d"], si.emitter, si.t, si.n)
+    w_mis = jnp.where(
+        s["prev_delta"], 1.0, mis_power_heuristic(s["prev_pdf"], pdf_em_dir)
+    )
+    L = L + jnp.where(hit[:, None], tp * Le * w_mis[:, None], 0.0)
+
+    if em.has_envmap:
+        env_L = em_mod.env_eval(em, s["d"])
+        pdf_env = em_mod.pdf_env_dir(em, s["d"])
+        w_env = jnp.where(
+            s["prev_delta"], 1.0, mis_power_heuristic(s["prev_pdf"], pdf_env)
         )
-        Le = jnp.where(si.entering[:, None], Le, 0.0)
-        pdf_em_dir = em_mod.pdf_hit_dir(em, s["o"], s["d"], si.emitter, si.t, si.n)
-        w_mis = jnp.where(
-            s["prev_delta"], 1.0, mis_power_heuristic(s["prev_pdf"], pdf_em_dir)
+        L = L + jnp.where(esc[:, None], tp * env_L * w_env[:, None], 0.0)
+
+    # --- NEE sampling (emitter side) ---
+    ctx = bsdf_mod.make_context(scene, si)
+    u_sel = rng.uniform1(seed0, pass_index, depth, rng.PurposeId.NEE_SELECT, lane_ids)
+    u1, u2 = rng.uniform2(seed0, pass_index, depth, rng.PurposeId.NEE_POS, lane_ids)
+    nee = em_mod.sample_nee(em, scene.tris, si.p, u_sel, u1, u2)
+    f_nee, pdf_bsdf_nee = bsdf_mod.eval_pdf(ctx, si.wi_world, nee["wo"])
+    smooth_frac = bsdf_mod.smooth_fraction(ctx, si.wi_world)
+    nee_ok = hit & nee["valid"] & (nee["pdf"] > 0)
+    nee_ok = nee_ok & (dot(nee["wo"], si.n) > 0)
+    shadowed = occluded(
+        scene, si.p + si.n * 1e-4, nee["wo"], nee["dist"],
+        n_live=s["n_live"],
+    )
+    nee_ok = nee_ok & ~shadowed
+    s["rays_cast"] = s["rays_cast"] + jnp.sum(hit.astype(jnp.float32))
+
+    # --- one-sample-MIS direction: BSDF vs SD-tree (:272-311) ---
+    ub0, ub1, ub2 = rng.uniform3(seed0, pass_index, depth, rng.PurposeId.BSDF_SAMPLE, lane_ids)
+    bs = bsdf_mod.sample(ctx, si.wi_world, ub0, ub1, ub2)
+
+    u_guide = rng.uniform1(seed0, pass_index, depth, rng.PurposeId.GUIDE_SELECT, lane_ids)
+    g1, g2 = rng.uniform2(seed0, pass_index, depth, rng.PurposeId.GUIDE_DIR, lane_ids)
+
+    # All SD-tree descents behind one lax.cond: unguided iterations
+    # (0 and 1, and pure-PT comparisons) skip the gather-heavy tree work
+    # entirely; guided iterations run it once per bounce.
+    def _tree_work(args):
+        p, wo_nee, bs_wo, g1, g2 = args
+        _, q_root = sd.kd_lookup(tree_prev, p)
+        # both pdf queries share one batched descent (half the loop
+        # overhead; identical gather count)
+        xy2 = dir_to_canonical(jnp.concatenate([wo_nee, bs_wo], axis=0))
+        pdf2 = sd.quad_pdf(
+            tree_prev, jnp.concatenate([q_root, q_root]), xy2
         )
-        L = L + jnp.where(hit[:, None], tp * Le * w_mis[:, None], 0.0)
+        nn = p.shape[0]
+        t_pdf_nee, t_pdf_b = pdf2[:nn], pdf2[nn:]
+        t_xy, t_pdf_s = sd.quad_sample(tree_prev, q_root, g1, g2)
+        return t_pdf_nee, t_xy, t_pdf_s, t_pdf_b
 
-        if em.has_envmap:
-            env_L = em_mod.env_eval(em, s["d"])
-            pdf_env = em_mod.pdf_env_dir(em, s["d"])
-            w_env = jnp.where(
-                s["prev_delta"], 1.0, mis_power_heuristic(s["prev_pdf"], pdf_env)
-            )
-            L = L + jnp.where(esc[:, None], tp * env_L * w_env[:, None], 0.0)
+    def _no_tree(args):
+        p, wo_nee, bs_wo, g1, g2 = args
+        z = jnp.zeros(p.shape[:-1], jnp.float32)
+        return z, jnp.zeros(p.shape[:-1] + (2,), jnp.float32), z, z
 
-        # --- NEE sampling (emitter side) ---
-        ctx = bsdf_mod.make_context(scene, si)
-        u_sel = rng.uniform1(seed0, pass_index, depth, rng.PurposeId.NEE_SELECT, lane_ids)
-        u1, u2 = rng.uniform2(seed0, pass_index, depth, rng.PurposeId.NEE_POS, lane_ids)
-        nee = em_mod.sample_nee(em, scene.tris, si.p, u_sel, u1, u2)
-        f_nee, pdf_bsdf_nee = bsdf_mod.eval_pdf(ctx, si.wi_world, nee["wo"])
-        smooth_frac = bsdf_mod.smooth_fraction(ctx, si.wi_world)
-        nee_ok = hit & nee["valid"] & (nee["pdf"] > 0)
-        nee_ok = nee_ok & (dot(nee["wo"], si.n) > 0)
-        shadowed = occluded(
-            scene, si.p + si.n * 1e-4, nee["wo"], nee["dist"],
-            n_live=s["n_live"],
-        )
-        nee_ok = nee_ok & ~shadowed
-        s["rays_cast"] = s["rays_cast"] + jnp.sum(hit.astype(jnp.float32))
+    tree_pdf_nee, tree_xy, tree_pdf_t, tree_pdf_b = jax.lax.cond(
+        use_guiding,
+        _tree_work,
+        _no_tree,
+        (si.p, nee["wo"], bs["wo"], g1, g2),
+    )
+    surface_pdf = jnp.where(
+        use_guiding,
+        bsdf_fraction * pdf_bsdf_nee
+        + (1.0 - bsdf_fraction) * tree_pdf_nee * smooth_frac,
+        pdf_bsdf_nee,
+    )
 
-        # --- one-sample-MIS direction: BSDF vs SD-tree (:272-311) ---
-        ub0, ub1, ub2 = rng.uniform3(seed0, pass_index, depth, rng.PurposeId.BSDF_SAMPLE, lane_ids)
-        bs = bsdf_mod.sample(ctx, si.wi_world, ub0, ub1, ub2)
+    # NEE contribution with guided-aware MIS weight
+    w_nee = jnp.where(
+        nee["is_delta"], 1.0, mis_power_heuristic(nee["pdf"], surface_pdf)
+    )
+    Lr_dir = jnp.where(
+        nee_ok[:, None],
+        nan_to_zero(
+            tp
+            * f_nee
+            * nee["Li"]
+            * (w_nee / jnp.maximum(nee["pdf"], 1e-20))[:, None]
+        ),
+        0.0,
+    )
+    L = L + Lr_dir
 
-        u_guide = rng.uniform1(seed0, pass_index, depth, rng.PurposeId.GUIDE_SELECT, lane_ids)
-        g1, g2 = rng.uniform2(seed0, pass_index, depth, rng.PurposeId.GUIDE_DIR, lane_ids)
+    do_mix = use_guiding & ~bs["delta"]  # :283,286
+    take_tree = do_mix & (u_guide >= bsdf_fraction)
 
-        # All SD-tree descents behind one lax.cond: unguided iterations
-        # (0 and 1, and pure-PT comparisons) skip the gather-heavy tree work
-        # entirely; guided iterations run it once per bounce.
-        def _tree_work(args):
-            p, wo_nee, bs_wo, g1, g2 = args
-            _, q_root = sd.kd_lookup(tree_prev, p)
-            # both pdf queries share one batched descent (half the loop
-            # overhead; identical gather count)
-            xy2 = dir_to_canonical(jnp.concatenate([wo_nee, bs_wo], axis=0))
-            pdf2 = sd.quad_pdf(
-                tree_prev, jnp.concatenate([q_root, q_root]), xy2
-            )
-            nn = p.shape[0]
-            t_pdf_nee, t_pdf_b = pdf2[:nn], pdf2[nn:]
-            t_xy, t_pdf_s = sd.quad_sample(tree_prev, q_root, g1, g2)
-            return t_pdf_nee, t_xy, t_pdf_s, t_pdf_b
+    wo_tree = canonical_to_dir(tree_xy)
+    f_tree, bsdf_pdf_tree = bsdf_mod.eval_pdf(ctx, si.wi_world, wo_tree)
 
-        def _no_tree(args):
-            p, wo_nee, bs_wo, g1, g2 = args
-            z = jnp.zeros(p.shape[:-1], jnp.float32)
-            return z, jnp.zeros(p.shape[:-1] + (2,), jnp.float32), z, z
+    wo = jnp.where(take_tree[:, None], wo_tree, bs["wo"])
+    bsdf_pdf = jnp.where(take_tree, bsdf_pdf_tree, bs["pdf"])
+    # tree pdf of the chosen direction (tree_pdf_b from the cond above)
+    tree_pdf = jnp.where(take_tree, tree_pdf_t, tree_pdf_b)
 
-        tree_pdf_nee, tree_xy, tree_pdf_t, tree_pdf_b = jax.lax.cond(
-            use_guiding,
-            _tree_work,
-            _no_tree,
-            (si.p, nee["wo"], bs["wo"], g1, g2),
-        )
-        surface_pdf = jnp.where(
-            use_guiding,
-            bsdf_fraction * pdf_bsdf_nee
-            + (1.0 - bsdf_fraction) * tree_pdf_nee * smooth_frac,
-            pdf_bsdf_nee,
-        )
+    # f * cos of the chosen direction for mixture-weight lanes
+    f_bsdf_dir = bs["weight"] * bs["pdf"][:, None]  # = f*cos for smooth lanes
+    f_mix = jnp.where(take_tree[:, None], f_tree, f_bsdf_dir)
+    wo_pdf_mix = (
+        bsdf_fraction * bsdf_pdf + (1.0 - bsdf_fraction) * tree_pdf
+    )
+    weight_mix = f_mix / jnp.maximum(wo_pdf_mix, 1e-20)[:, None]
 
-        # NEE contribution with guided-aware MIS weight
-        w_nee = jnp.where(
-            nee["is_delta"], 1.0, mis_power_heuristic(nee["pdf"], surface_pdf)
-        )
-        Lr_dir = jnp.where(
-            nee_ok[:, None],
-            nan_to_zero(
-                tp
-                * f_nee
-                * nee["Li"]
-                * (w_nee / jnp.maximum(nee["pdf"], 1e-20))[:, None]
+    wo_pdf = jnp.where(do_mix, wo_pdf_mix, bs["pdf"])
+    bsdf_weight = jnp.where(do_mix[:, None], weight_mix, bs["weight"])
+    valid_dir = jnp.where(do_mix, wo_pdf > 0, bs["valid"])
+    bsdf_weight = jnp.where(
+        valid_dir[:, None] & jnp.isfinite(bsdf_weight), bsdf_weight, 0.0
+    )
+
+    # --- record this vertex (:318-346) ---
+    if record:
+        store = hit  # & ~final (record=False in final iteration)
+        r = s["recs"]
+
+        nrec = getattr(r, "wo_pdf").shape[0]
+        rec_idx = lane_ids - s["lane_base"]  # shard-local row
+
+        def put(field, value, mask):
+            # scatter at original (shard-local) lane rows; masked-off
+            # lanes write out of bounds and are dropped
+            arr = getattr(r, field)
+            idx = jnp.where(mask, rec_idx, nrec)
+            return arr.at[idx, depth].set(value, mode="drop")
+
+        r = r.replace(
+            position=put("position", si.p, store),
+            canonical_dir=put(
+                "canonical_dir", dir_to_canonical(wo), store
             ),
-            0.0,
+            throughput_radiance=put("throughput_radiance", L, store),
+            throughput_bsdf=put("throughput_bsdf", tp, store),
+            bsdf_weight=put("bsdf_weight", bsdf_weight, store),
+            nee_radiance=put(
+                "nee_radiance",
+                Lr_dir / jnp.maximum(tp, 1e-20),
+                store & nee_ok,
+            ),
+            nee_dir=put("nee_dir", dir_to_canonical(nee["wo"]), store & nee_ok),
+            wo_pdf=put("wo_pdf", wo_pdf, store),
+            bsdf_pdf=put("bsdf_pdf", bs["pdf"], store),
+            is_delta=put("is_delta", bs["delta"], store),
+            active=put("active", store, store),
         )
-        L = L + Lr_dir
+        s["recs"] = r
 
-        do_mix = use_guiding & ~bs["delta"]  # :283,286
-        take_tree = do_mix & (u_guide >= bsdf_fraction)
+    # --- spawn / throughput / RR ---
+    tp_new = tp * bsdf_weight
+    alive = hit & valid_dir & (jnp.max(tp_new, axis=-1) > 0)
+    eta_scale = s["eta_scale"] * bs["eta"] ** 2
+    u_rr = rng.uniform1(seed0, pass_index, depth, rng.PurposeId.RR, lane_ids)
+    q = jnp.minimum(jnp.max(tp_new, axis=-1) * eta_scale, 0.95)
+    do_rr = depth >= scene.rr_depth
+    survive = jnp.where(do_rr, u_rr < q, jnp.ones(n_rays, bool))
+    tp_new = jnp.where(do_rr, tp_new / jnp.maximum(q, 1e-6)[:, None], tp_new)
+    alive = alive & survive
 
-        wo_tree = canonical_to_dir(tree_xy)
-        f_tree, bsdf_pdf_tree = bsdf_mod.eval_pdf(ctx, si.wi_world, wo_tree)
+    s["o"] = jnp.where(alive[:, None], si.p + wo * 1e-4, s["o"])
+    s["d"] = jnp.where(alive[:, None], wo, s["d"])
+    s["throughput"] = jnp.where(alive[:, None], tp_new, tp)
+    s["L"] = L
+    s["eta_scale"] = jnp.where(alive, eta_scale, s["eta_scale"])
+    s["active"] = alive
+    s["prev_pdf"] = jnp.where(alive, wo_pdf, s["prev_pdf"])
+    s["prev_delta"] = jnp.where(alive, bs["delta"], s["prev_delta"])
+    s["depth"] = depth + 1
+    from .path_tracer import _PT_KEYS1, _PT_KEYS3, compact_wavefront
 
-        wo = jnp.where(take_tree[:, None], wo_tree, bs["wo"])
-        bsdf_pdf = jnp.where(take_tree, bsdf_pdf_tree, bs["pdf"])
-        # tree pdf of the chosen direction (tree_pdf_b from the cond above)
-        tree_pdf = jnp.where(take_tree, tree_pdf_t, tree_pdf_b)
-
-        # f * cos of the chosen direction for mixture-weight lanes
-        f_bsdf_dir = bs["weight"] * bs["pdf"][:, None]  # = f*cos for smooth lanes
-        f_mix = jnp.where(take_tree[:, None], f_tree, f_bsdf_dir)
-        wo_pdf_mix = (
-            bsdf_fraction * bsdf_pdf + (1.0 - bsdf_fraction) * tree_pdf
-        )
-        weight_mix = f_mix / jnp.maximum(wo_pdf_mix, 1e-20)[:, None]
-
-        wo_pdf = jnp.where(do_mix, wo_pdf_mix, bs["pdf"])
-        bsdf_weight = jnp.where(do_mix[:, None], weight_mix, bs["weight"])
-        valid_dir = jnp.where(do_mix, wo_pdf > 0, bs["valid"])
-        bsdf_weight = jnp.where(
-            valid_dir[:, None] & jnp.isfinite(bsdf_weight), bsdf_weight, 0.0
-        )
-
-        # --- record this vertex (:318-346) ---
-        if record:
-            store = hit  # & ~final (record=False in final iteration)
-            r = s["recs"]
-
-            nrec = getattr(r, "wo_pdf").shape[0]
-            rec_idx = lane_ids - s["lane_base"]  # shard-local row
-
-            def put(field, value, mask):
-                # scatter at original (shard-local) lane rows; masked-off
-                # lanes write out of bounds and are dropped
-                arr = getattr(r, field)
-                idx = jnp.where(mask, rec_idx, nrec)
-                return arr.at[idx, depth].set(value, mode="drop")
-
-            r = r.replace(
-                position=put("position", si.p, store),
-                canonical_dir=put(
-                    "canonical_dir", dir_to_canonical(wo), store
-                ),
-                throughput_radiance=put("throughput_radiance", L, store),
-                throughput_bsdf=put("throughput_bsdf", tp, store),
-                bsdf_weight=put("bsdf_weight", bsdf_weight, store),
-                nee_radiance=put(
-                    "nee_radiance",
-                    Lr_dir / jnp.maximum(tp, 1e-20),
-                    store & nee_ok,
-                ),
-                nee_dir=put("nee_dir", dir_to_canonical(nee["wo"]), store & nee_ok),
-                wo_pdf=put("wo_pdf", wo_pdf, store),
-                bsdf_pdf=put("bsdf_pdf", bs["pdf"], store),
-                is_delta=put("is_delta", bs["delta"], store),
-                active=put("active", store, store),
-            )
-            s["recs"] = r
-
-        # --- spawn / throughput / RR ---
-        tp_new = tp * bsdf_weight
-        alive = hit & valid_dir & (jnp.max(tp_new, axis=-1) > 0)
-        eta_scale = s["eta_scale"] * bs["eta"] ** 2
-        u_rr = rng.uniform1(seed0, pass_index, depth, rng.PurposeId.RR, lane_ids)
-        q = jnp.minimum(jnp.max(tp_new, axis=-1) * eta_scale, 0.95)
-        do_rr = depth >= scene.rr_depth
-        survive = jnp.where(do_rr, u_rr < q, jnp.ones(n_rays, bool))
-        tp_new = jnp.where(do_rr, tp_new / jnp.maximum(q, 1e-6)[:, None], tp_new)
-        alive = alive & survive
-
-        s["o"] = jnp.where(alive[:, None], si.p + wo * 1e-4, s["o"])
-        s["d"] = jnp.where(alive[:, None], wo, s["d"])
-        s["throughput"] = jnp.where(alive[:, None], tp_new, tp)
-        s["L"] = L
-        s["eta_scale"] = jnp.where(alive, eta_scale, s["eta_scale"])
-        s["active"] = alive
-        s["prev_pdf"] = jnp.where(alive, wo_pdf, s["prev_pdf"])
-        s["prev_delta"] = jnp.where(alive, bs["delta"], s["prev_delta"])
-        s["depth"] = depth + 1
-        from .path_tracer import _PT_KEYS1, _PT_KEYS3, compact_wavefront
-
-        return compact_wavefront(s, list(_PT_KEYS3), list(_PT_KEYS1))
+    return compact_wavefront(s, list(_PT_KEYS3), list(_PT_KEYS1))
 
 
 _bounce_step = jax.jit(_bounce_body, static_argnames=("bsdf_fraction",))

@@ -83,87 +83,86 @@ def _bounce_body(scene, seed0, pass_index, s):
     (original sample ids), so compaction never changes results."""
     lane_ids = s["lane"]
     n_rays = lane_ids.shape[0]
-    if True:
-        s = dict(s)
-        depth = s["depth"]
+    s = dict(s)
+    depth = s["depth"]
 
-        si = intersect(scene, s["o"], s["d"], n_live=s["n_live"])
-        active = s["active"]
-        s["rays_cast"] = s["rays_cast"] + jnp.sum(active.astype(jnp.float32))
-        esc = active & ~si.valid
-        hit = active & si.valid
+    si = intersect(scene, s["o"], s["d"], n_live=s["n_live"])
+    active = s["active"]
+    s["rays_cast"] = s["rays_cast"] + jnp.sum(active.astype(jnp.float32))
+    esc = active & ~si.valid
+    hit = active & si.valid
 
-        L = s["L"]
-        tp = s["throughput"]
+    L = s["L"]
+    tp = s["throughput"]
 
-        # --- emission on hit (MIS vs previous bounce pdf) ---
-        em = scene.emitters
-        Le = jnp.where(
-            (si.emitter >= 0)[:, None], em.radiance[jnp.maximum(si.emitter, 0)], 0.0
+    # --- emission on hit (MIS vs previous bounce pdf) ---
+    em = scene.emitters
+    Le = jnp.where(
+        (si.emitter >= 0)[:, None], em.radiance[jnp.maximum(si.emitter, 0)], 0.0
+    )
+    # one-sided: emit only toward the front side (original orientation)
+    Le = jnp.where(si.entering[:, None], Le, 0.0)
+    pdf_em_dir = em_mod.pdf_hit_dir(em, s["o"], s["d"], si.emitter, si.t, si.n)
+    w_mis = jnp.where(
+        s["prev_delta"], 1.0, mis_power_heuristic(s["prev_pdf"], pdf_em_dir)
+    )
+    L = L + jnp.where(hit[:, None], tp * Le * w_mis[:, None], 0.0)
+
+    # --- escaped rays: envmap / constant emitters ---
+    if em.has_envmap:
+        env_L = em_mod.env_eval(em, s["d"])
+        pdf_env = em_mod.pdf_env_dir(em, s["d"])
+        w_env = jnp.where(
+            s["prev_delta"], 1.0, mis_power_heuristic(s["prev_pdf"], pdf_env)
         )
-        # one-sided: emit only toward the front side (original orientation)
-        Le = jnp.where(si.entering[:, None], Le, 0.0)
-        pdf_em_dir = em_mod.pdf_hit_dir(em, s["o"], s["d"], si.emitter, si.t, si.n)
-        w_mis = jnp.where(
-            s["prev_delta"], 1.0, mis_power_heuristic(s["prev_pdf"], pdf_em_dir)
-        )
-        L = L + jnp.where(hit[:, None], tp * Le * w_mis[:, None], 0.0)
+        L = L + jnp.where(esc[:, None], tp * env_L * w_env[:, None], 0.0)
 
-        # --- escaped rays: envmap / constant emitters ---
-        if em.has_envmap:
-            env_L = em_mod.env_eval(em, s["d"])
-            pdf_env = em_mod.pdf_env_dir(em, s["d"])
-            w_env = jnp.where(
-                s["prev_delta"], 1.0, mis_power_heuristic(s["prev_pdf"], pdf_env)
-            )
-            L = L + jnp.where(esc[:, None], tp * env_L * w_env[:, None], 0.0)
+    # --- NEE ---
+    ctx = bsdf_mod.make_context(scene, si)
+    u_sel = rng.uniform1(seed0, pass_index, depth, rng.PurposeId.NEE_SELECT, lane_ids)
+    u1, u2 = rng.uniform2(seed0, pass_index, depth, rng.PurposeId.NEE_POS, lane_ids)
+    nee = em_mod.sample_nee(em, scene.tris, si.p, u_sel, u1, u2)
+    f_nee, pdf_bsdf_nee = bsdf_mod.eval_pdf(ctx, si.wi_world, nee["wo"])
+    nee_ok = hit & nee["valid"] & (nee["pdf"] > 0)
+    nee_ok = nee_ok & (dot(nee["wo"], si.n) > 0)  # same hemisphere as geo normal
+    shadowed = occluded(
+        scene, si.p + si.n * 1e-4, nee["wo"], nee["dist"],
+        n_live=s["n_live"],
+    )
+    nee_ok = nee_ok & ~shadowed
+    s["rays_cast"] = s["rays_cast"] + jnp.sum(hit.astype(jnp.float32))
+    w_nee = jnp.where(
+        nee["is_delta"], 1.0, mis_power_heuristic(nee["pdf"], pdf_bsdf_nee)
+    )
+    contrib = tp * f_nee * nee["Li"] * (w_nee / jnp.maximum(nee["pdf"], 1e-20))[:, None]
+    L = L + jnp.where(nee_ok[:, None], nan_to_zero(contrib), 0.0)
 
-        # --- NEE ---
-        ctx = bsdf_mod.make_context(scene, si)
-        u_sel = rng.uniform1(seed0, pass_index, depth, rng.PurposeId.NEE_SELECT, lane_ids)
-        u1, u2 = rng.uniform2(seed0, pass_index, depth, rng.PurposeId.NEE_POS, lane_ids)
-        nee = em_mod.sample_nee(em, scene.tris, si.p, u_sel, u1, u2)
-        f_nee, pdf_bsdf_nee = bsdf_mod.eval_pdf(ctx, si.wi_world, nee["wo"])
-        nee_ok = hit & nee["valid"] & (nee["pdf"] > 0)
-        nee_ok = nee_ok & (dot(nee["wo"], si.n) > 0)  # same hemisphere as geo normal
-        shadowed = occluded(
-            scene, si.p + si.n * 1e-4, nee["wo"], nee["dist"],
-            n_live=s["n_live"],
-        )
-        nee_ok = nee_ok & ~shadowed
-        s["rays_cast"] = s["rays_cast"] + jnp.sum(hit.astype(jnp.float32))
-        w_nee = jnp.where(
-            nee["is_delta"], 1.0, mis_power_heuristic(nee["pdf"], pdf_bsdf_nee)
-        )
-        contrib = tp * f_nee * nee["Li"] * (w_nee / jnp.maximum(nee["pdf"], 1e-20))[:, None]
-        L = L + jnp.where(nee_ok[:, None], nan_to_zero(contrib), 0.0)
+    # --- BSDF sampling ---
+    ub0, ub1, ub2 = rng.uniform3(seed0, pass_index, depth, rng.PurposeId.BSDF_SAMPLE, lane_ids)
+    bs = bsdf_mod.sample(ctx, si.wi_world, ub0, ub1, ub2)
+    tp_new = tp * bs["weight"]
+    alive = hit & bs["valid"] & (jnp.max(tp_new, axis=-1) > 0)
 
-        # --- BSDF sampling ---
-        ub0, ub1, ub2 = rng.uniform3(seed0, pass_index, depth, rng.PurposeId.BSDF_SAMPLE, lane_ids)
-        bs = bsdf_mod.sample(ctx, si.wi_world, ub0, ub1, ub2)
-        tp_new = tp * bs["weight"]
-        alive = hit & bs["valid"] & (jnp.max(tp_new, axis=-1) > 0)
+    # --- Russian roulette (reference: depth >= rr_depth, p <= 0.95,
+    #     eta^2 correction; path_guiding_integrator.py:367-381) ---
+    eta_scale = s["eta_scale"] * bs["eta"] ** 2
+    u_rr = rng.uniform1(seed0, pass_index, depth, rng.PurposeId.RR, lane_ids)
+    q = jnp.minimum(jnp.max(tp_new, axis=-1) * eta_scale, 0.95)
+    do_rr = depth >= scene.rr_depth  # scalar (loop counter)
+    survive = jnp.where(do_rr, u_rr < q, jnp.ones(n_rays, bool))
+    tp_new = jnp.where(do_rr, tp_new / jnp.maximum(q, 1e-6)[:, None], tp_new)
+    alive = alive & survive
 
-        # --- Russian roulette (reference: depth >= rr_depth, p <= 0.95,
-        #     eta^2 correction; path_guiding_integrator.py:367-381) ---
-        eta_scale = s["eta_scale"] * bs["eta"] ** 2
-        u_rr = rng.uniform1(seed0, pass_index, depth, rng.PurposeId.RR, lane_ids)
-        q = jnp.minimum(jnp.max(tp_new, axis=-1) * eta_scale, 0.95)
-        do_rr = depth >= scene.rr_depth  # scalar (loop counter)
-        survive = jnp.where(do_rr, u_rr < q, jnp.ones(n_rays, bool))
-        tp_new = jnp.where(do_rr, tp_new / jnp.maximum(q, 1e-6)[:, None], tp_new)
-        alive = alive & survive
-
-        s["o"] = jnp.where(alive[:, None], si.p + bs["wo"] * 1e-4, s["o"])
-        s["d"] = jnp.where(alive[:, None], bs["wo"], s["d"])
-        s["throughput"] = jnp.where(alive[:, None], tp_new, tp)
-        s["L"] = L
-        s["eta_scale"] = jnp.where(alive, eta_scale, s["eta_scale"])
-        s["active"] = alive
-        s["prev_pdf"] = jnp.where(alive, bs["pdf"], s["prev_pdf"])
-        s["prev_delta"] = jnp.where(alive, bs["delta"], s["prev_delta"])
-        s["depth"] = depth + 1
-        return compact_wavefront(s, list(_PT_KEYS3), list(_PT_KEYS1))
+    s["o"] = jnp.where(alive[:, None], si.p + bs["wo"] * 1e-4, s["o"])
+    s["d"] = jnp.where(alive[:, None], bs["wo"], s["d"])
+    s["throughput"] = jnp.where(alive[:, None], tp_new, tp)
+    s["L"] = L
+    s["eta_scale"] = jnp.where(alive, eta_scale, s["eta_scale"])
+    s["active"] = alive
+    s["prev_pdf"] = jnp.where(alive, bs["pdf"], s["prev_pdf"])
+    s["prev_delta"] = jnp.where(alive, bs["delta"], s["prev_delta"])
+    s["depth"] = depth + 1
+    return compact_wavefront(s, list(_PT_KEYS3), list(_PT_KEYS1))
 
 
 _bounce_step = jax.jit(_bounce_body)
