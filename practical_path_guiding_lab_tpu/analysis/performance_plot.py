@@ -119,3 +119,33 @@ def average_simulations(csv_paths, out_path):
     avg = pd.concat(dfs).groupby(level=0).mean(numeric_only=True)
     avg.to_csv(out_path, index=False)
     return avg
+
+
+if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description="Plot driver CSVs (reference performance_plot.py parity)"
+    )
+    ap.add_argument("--perf-dir", required=True,
+                    help="debug/<scene>/performance directory")
+    ap.add_argument("--out", default=None, help="output directory (plots)")
+    args = ap.parse_args()
+    from pathlib import Path
+
+    perf = Path(args.perf_dir)
+    out = Path(args.out) if args.out else perf.parent / "plot"
+    out.mkdir(parents=True, exist_ok=True)
+    for name in ("variance_inIter", "mse_groundTruth_inIter",
+                 "variance_endIter", "variance_estimated_final"):
+        csv = perf / f"{name}.csv"
+        if csv.exists():
+            plot_one_simulation_performance(
+                csv, out / f"{name}.png",
+                value="mse" if "mse" in name else "variance",
+            )
+    guided = perf / "variance_groundTruth_inIter.csv"
+    pt = perf / "pt_nee_variance.csv"
+    if guided.exists() and pt.exists():
+        plot_guided_vs_pt(guided, pt, out / "guided_vs_pt.png")
+    print(f"plots written to {out}")

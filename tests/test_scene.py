@@ -11,6 +11,8 @@ SCENES = "/root/reference/scenes"
 
 CORPUS = [
     ("cornell-box", "scene.xml"),
+    ("cornell-box", "cornell-box-empty.xml"),
+    ("teapot", "scene_v3.xml"),
     ("veach-mis", "scene.xml"),
     ("veach-bidir", "scene.xml"),
     ("veach-ajar", "scene.xml"),
