@@ -92,3 +92,19 @@ def test_baseline_driver(tmp_path):
     assert out["spp"] == 8
     assert out["mse"] is not None and out["mse"] < 0.1
     assert len(out["variance_csv"].rows) == 2  # one row per chunk
+
+
+def test_baseline_time_budget(tmp_path):
+    """Wall-clock budget mode (path_tracing_render.py:119-156)."""
+    cfg = BaselineConfig(
+        scene="cornell-box",
+        scene_overrides={"resx": 32, "resy": 32},
+        use_time_budget=True,
+        time_budget=3.0,
+        chunk_spp=2,
+        out_root=str(tmp_path),
+        save_outputs=False,
+    )
+    out = render_baseline(cfg)
+    assert out["spp"] >= 2
+    assert out["time"] >= 3.0
