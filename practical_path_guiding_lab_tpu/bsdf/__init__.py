@@ -12,6 +12,15 @@ path_guiding_integrator.py:372-378).
 Families: diffuse, conductor, roughconductor (beckmann/ggx), dielectric,
 roughdielectric, plastic. Directions are world-space at the API boundary;
 internally local shading frames (z = ns).
+
+Known simplifications vs Mitsuba (documented, corpus-neutral):
+ * shading frames are face-forwarded, so every opaque material behaves
+   twosided — the corpus wraps all opaque BSDFs in <twosided> anyway;
+   dielectrics keep true sidedness via Intersection.entering.
+ * plastic always uses the nonlinear (per-channel) internal-scattering
+   denominator; the only plastic in the corpus sets nonlinear=true.
+ * microfacet sampling uses classic D*cos normal sampling (not VNDF);
+   sample/pdf stay mutually consistent so estimators remain unbiased.
 """
 from __future__ import annotations
 
