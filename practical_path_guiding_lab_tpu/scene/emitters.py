@@ -203,7 +203,8 @@ def env_sample(em: EmitterTable, u1, u2):
     xi = jax_searchsorted_rows(em.env_col_cdf, yi, u2)
     xi = jnp.clip(xi, 0, w - 1)
     theta = (yi.astype(jnp.float32) + 0.5) / h * PI
-    phi = (xi.astype(jnp.float32) + 0.5) / w * TWO_PI - PI
+    # exact inverse of env_eval's uv mapping: u = atan2(v.x, -v.z) / 2pi
+    phi = (xi.astype(jnp.float32) + 0.5) / w * TWO_PI
     sin_t = jnp.sin(theta)
     v = jnp.stack(
         [sin_t * jnp.sin(phi), jnp.cos(theta), -sin_t * jnp.cos(phi)], axis=-1
