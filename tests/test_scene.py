@@ -72,3 +72,28 @@ def test_teapot_envmap():
     s = compile_scene(load_file(f"{SCENES}/teapot/teapot_compact.xml"))
     assert s.emitters.has_envmap
     assert s.emitters.env_image.shape == (512, 1024, 3)
+
+
+def test_camera_projection_roundtrip():
+    """generate_rays must invert the pinhole projection: a ray through
+    pixel (px, py) re-projects to the same film coordinates."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from practical_path_guiding_lab_tpu.scene.camera import generate_rays, make_camera
+
+    d = load_file(f"{SCENES}/teapot/scene_v3.xml", resx=160, resy=90)
+    cam = make_camera(d.sensor)
+    rng = np.random.default_rng(0)
+    px = jnp.asarray(rng.uniform(0, 160, 500), jnp.float32)
+    py = jnp.asarray(rng.uniform(0, 90, 500), jnp.float32)
+    ray = generate_rays(cam, px / 160, py / 90)
+    # project a point along each ray back to the film
+    m = np.asarray(cam.to_world)
+    r = m[:3, :3]
+    p = np.asarray(ray.o + ray.d * 7.3)
+    pc = (p - m[:3, 3]) @ r  # camera-space (columns are the axes)
+    sx = 0.5 * (1.0 - pc[:, 0] / (pc[:, 2] * float(cam.tan_x)))
+    sy = 0.5 * (1.0 - pc[:, 1] / (pc[:, 2] * float(cam.tan_y)))
+    assert np.allclose(sx * 160, np.asarray(px), atol=1e-2)
+    assert np.allclose(sy * 90, np.asarray(py), atol=1e-2)
