@@ -236,4 +236,3 @@ def write(path, img: np.ndarray, half: bool = True):
         for row0, comp in chunks:
             f.write(struct.pack("<iI", row0, len(comp)))
             f.write(comp)
-    _ = psize

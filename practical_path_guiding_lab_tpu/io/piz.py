@@ -105,8 +105,8 @@ def huf_decompress(data: bytes, n_out: int) -> np.ndarray:
     """Decode an OpenEXR Huffman stream -> (n_out,) uint16 symbol indices."""
     im = int.from_bytes(data[0:4], "little")
     iM = int.from_bytes(data[4:8], "little")
-    # data[8:12] tableLength (unused), data[12:16] nBits, data[16:20] reserved
-    n_bits = int.from_bytes(data[12:16], "little")
+    # data[8:12] tableLength, data[12:16] nBits, data[16:20] reserved (the
+    # decoder stops after n_out symbols, so nBits is not needed)
     reader = _BitReader(data[20:])
     lengths = _unpack_enc_table(reader, im, iM)
     codes = _canonical_codes(lengths)
@@ -135,7 +135,6 @@ def huf_decompress(data: bytes, n_out: int) -> np.ndarray:
     pos = reader.pos
     c = 0
     lc = 0
-    total_bits = n_bits
     # Recompute bits consumed so far by the table: we track via reader state.
     # Simpler: decode until n_out symbols produced.
     oi = 0
@@ -180,7 +179,6 @@ def huf_decompress(data: bytes, n_out: int) -> np.ndarray:
         else:
             out[oi] = sym
             oi += 1
-    _ = total_bits
     return out
 
 

@@ -61,7 +61,6 @@ def read(path, shape_index: int):
     vc, tc = struct.unpack_from("<QQ", dec, pos)
     pos += 16
     dt = np.float64 if flags & FLAG_DOUBLE else np.float32
-    isize = np.dtype(dt).itemsize
 
     def take(n, d, s):
         nonlocal pos
@@ -74,7 +73,6 @@ def read(path, shape_index: int):
     uvs = take(vc * 2, dt, 2).astype(np.float32) if flags & FLAG_UVS else None
     if flags & FLAG_COLORS:
         take(vc * 3, dt, 3)
-    _ = isize
     triangles = take(tc * 3, np.uint32, 3).astype(np.int32)
     return {
         "positions": positions,

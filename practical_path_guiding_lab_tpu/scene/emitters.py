@@ -340,7 +340,6 @@ def sample_nee(em: EmitterTable, tris, p, u_sel, u1, u2):
     valid = valid & (pdf > 0)
     pdf = pdf / E  # uniform emitter selection
     is_delta = is_dir
-    _ = is_const
     return {
         "wo": wo,
         "dist": dist,
