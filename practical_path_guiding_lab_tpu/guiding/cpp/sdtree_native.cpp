@@ -243,3 +243,101 @@ int quad_compact(int32_t* kd_quad_root, const uint8_t* kd_leaf,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------
+// Flattened lookup tables for fast device-side sampling/point location:
+// per live root, a DFS-ordered leaf list with CDF + bbox, plus a 32x32
+// grid mapping canonical cells to the covering node (leaf, or the
+// internal node at grid depth for deeper subtrees). Semantics are exactly
+// the quadtree distribution: with consistent sums (children sum to
+// parent), the CDF-descent probability of a leaf equals irr_leaf/irr_root
+// and the solid-angle pdf is irr_leaf * 4^depth / (4*pi*irr_root).
+// ---------------------------------------------------------------------
+
+extern "C" int build_lookup(
+    const int32_t* kd_quad_root, const uint8_t* kd_leaf, int64_t kd_count,
+    const int32_t* q_child, const double* q_irr, const int32_t* q_depth,
+    int64_t q_count,
+    int32_t grid_l,           // grid depth (cells = 4^grid_l per root)
+    int32_t* root_slot,       // (q_cap,) out: -1 or slot id
+    int32_t* grid_node,       // (max_roots, 4^grid_l) out
+    int32_t* leaf_node,       // (q_cap,) out
+    float* leaf_cdf,          // (q_cap,) out (inclusive, per tree)
+    float* leaf_lo,           // (q_cap, 2) out
+    int32_t* leaf_depth,      // (q_cap,) out
+    int32_t* root_leaf_off,   // (max_roots,) out
+    int32_t* root_leaf_cnt,   // (max_roots,) out
+    int64_t max_roots, int64_t* n_roots_out) {
+  const int32_t res = 1 << grid_l;
+  const int64_t cells = (int64_t)res * res;
+  for (int64_t i = 0; i < q_count; ++i) root_slot[i] = -1;
+
+  int64_t slot = 0;
+  int64_t leaf_pos = 0;
+
+  struct Frame {
+    int64_t node;
+    float lx, ly, size;
+    int32_t depth;
+  };
+  std::vector<Frame> stack;
+
+  for (int64_t i = 0; i < kd_count; ++i) {
+    if (!kd_leaf[i]) continue;
+    int64_t root = kd_quad_root[i];
+    if (root < 0 || root >= q_count || root_slot[root] >= 0) continue;
+    if (slot >= max_roots) return -1;
+    root_slot[root] = (int32_t)slot;
+    int32_t* grid = grid_node + slot * cells;
+    root_leaf_off[slot] = (int32_t)leaf_pos;
+    double root_irr = q_irr[root];
+    double acc = 0.0;
+    int32_t cnt = 0;
+
+    // DFS in child order 2,3,1,0? Order only matters for CDF determinism;
+    // use ascending child index for reproducibility.
+    stack.clear();
+    stack.push_back({root, 0.f, 0.f, 1.f, 0});
+    while (!stack.empty()) {
+      Frame f = stack.back();
+      stack.pop_back();
+      const int32_t* c = q_child + f.node * 4;
+      bool is_leaf = c[0] < 0;
+      // grid fill: stamp at leaves and at grid depth. The runtime descent
+      // continues from the stamped node, so do NOT stamp deeper nodes.
+      if (is_leaf || f.depth == grid_l) {
+        int32_t x0 = (int32_t)(f.lx * res + 0.5f);
+        int32_t y0 = (int32_t)(f.ly * res + 0.5f);
+        int32_t span = f.depth >= grid_l ? 1 : (res >> f.depth);
+        for (int32_t yy = y0; yy < y0 + span && yy < res; ++yy)
+          for (int32_t xx = x0; xx < x0 + span && xx < res; ++xx)
+            grid[(int64_t)yy * res + xx] = (int32_t)f.node;
+      }
+      if (is_leaf) {
+        double p = root_irr > 0.0 ? q_irr[f.node] / root_irr : 0.0;
+        acc += p;
+        leaf_node[leaf_pos] = (int32_t)f.node;
+        leaf_cdf[leaf_pos] = (float)acc;
+        leaf_lo[leaf_pos * 2 + 0] = f.lx;
+        leaf_lo[leaf_pos * 2 + 1] = f.ly;
+        leaf_depth[leaf_pos] = f.depth;
+        ++leaf_pos;
+        ++cnt;
+        continue;
+      }
+      float h = f.size * 0.5f;
+      float mx = f.lx + h, my = f.ly + h;
+      int32_t d = f.depth + 1;
+      // children: 0=(x>=m,y>=m) 1=(x<m,y>=m) 2=(x<m,y<m) 3=(x>=m,y<m)
+      stack.push_back({c[0], mx, my, h, d});
+      stack.push_back({c[1], f.lx, my, h, d});
+      stack.push_back({c[2], f.lx, f.ly, h, d});
+      stack.push_back({c[3], mx, f.ly, h, d});
+    }
+    if (cnt > 0) leaf_cdf[leaf_pos - 1] = 1.0f;  // close rounding
+    root_leaf_cnt[slot] = cnt;
+    ++slot;
+  }
+  *n_roots_out = slot;
+  return 0;
+}

@@ -139,3 +139,46 @@ def refine(tree) -> bool:
     tree.q_count = q_count.value
     tree._kd_recompute_geometry()
     return True
+
+
+def build_lookup(tree, grid_l: int, max_roots: int):
+    """Build flattened lookup tables (leaf CDFs + point-location grid) for
+    the device. Returns dict of numpy arrays or None if native missing."""
+    lib = load()
+    if lib is None:
+        return None
+    if not hasattr(lib, "build_lookup"):
+        return None
+    nq_cap = tree.quad_capacity
+    cells = (1 << grid_l) ** 2
+    root_slot = np.full(nq_cap, -1, np.int32)
+    grid_node = np.zeros((max_roots, cells), np.int32)
+    leaf_node = np.zeros(nq_cap, np.int32)
+    leaf_cdf = np.ones(nq_cap, np.float32)
+    leaf_lo = np.zeros((nq_cap, 2), np.float32)
+    leaf_depth = np.zeros(nq_cap, np.int32)
+    root_leaf_off = np.zeros(max_roots, np.int32)
+    root_leaf_cnt = np.zeros(max_roots, np.int32)
+    n_roots = _i64(0)
+    kd_leaf = tree.kd_leaf.view(np.uint8)
+    lib.build_lookup.restype = ctypes.c_int
+    rc = lib.build_lookup(
+        _ptr(tree.kd_quad_root, np.int32), _ptr(kd_leaf, np.uint8),
+        _i64(tree.kd_count),
+        _ptr(tree.q_child, np.int32), _ptr(tree.q_irr, np.float64),
+        _ptr(tree.q_depth, np.int32), _i64(tree.q_count),
+        _i32(grid_l),
+        _ptr(root_slot, np.int32), _ptr(grid_node, np.int32),
+        _ptr(leaf_node, np.int32), _ptr(leaf_cdf, np.float32),
+        _ptr(leaf_lo, np.float32), _ptr(leaf_depth, np.int32),
+        _ptr(root_leaf_off, np.int32), _ptr(root_leaf_cnt, np.int32),
+        _i64(max_roots), ctypes.byref(n_roots),
+    )
+    if rc != 0:
+        raise RuntimeError("build_lookup: root capacity exceeded")
+    return dict(
+        root_slot=root_slot, grid_node=grid_node, leaf_node=leaf_node,
+        leaf_cdf=leaf_cdf, leaf_lo=leaf_lo, leaf_depth=leaf_depth,
+        root_leaf_off=root_leaf_off, root_leaf_cnt=root_leaf_cnt,
+        n_roots=n_roots.value,
+    )

@@ -32,6 +32,8 @@ from flax import struct
 
 KD_SPLIT_C = 12000.0  # reference kdtree.py:329-330
 QUAD_FLUX_FRACTION = 0.01  # reference quadtree.py:519
+GRID_L = 5  # point-location grid depth (32x32 cells per tree)
+INV_FOUR_PI = 1.0 / (4.0 * np.pi)
 
 
 @struct.dataclass
@@ -47,14 +49,27 @@ class SDTreeDevice:
     # quad structure (NQ, ...)
     q_child: jnp.ndarray      # (NQ, 4) int32, -1 if leaf
     q_irr: jnp.ndarray        # (NQ,) float32 — full node sums (prev tree)
+    q_depth_dev: jnp.ndarray  # (NQ,) int32 node depths
     # splat accumulators (leaf-level)
     kd_vert_acc: jnp.ndarray  # (NK,) float32
     q_irr_acc: jnp.ndarray    # (NQ,) float32
     # bounds
     bbox_lo: jnp.ndarray      # (3,)
     bbox_inv_size: jnp.ndarray  # (3,)
+    # flattened lookup tables (exact equivalents of the tree distribution):
+    # per-root DFS leaf list with CDF + a 2^GRID_L square grid of covering
+    # nodes for O(1)-ish point location (built host-side each iteration)
+    root_slot: jnp.ndarray      # (NQ,) int32 root node -> slot, else -1
+    grid_node: jnp.ndarray      # (R, 4^GRID_L) int32
+    leaf_node: jnp.ndarray      # (NQ,) int32
+    leaf_cdf: jnp.ndarray       # (NQ,) float32 inclusive per-tree CDF
+    leaf_lo: jnp.ndarray        # (NQ, 2) float32
+    leaf_depth: jnp.ndarray     # (NQ,) int32
+    root_leaf_off: jnp.ndarray  # (R,) int32
+    root_leaf_cnt: jnp.ndarray  # (R,) int32
     kd_max_depth: int = struct.field(pytree_node=False, default=20)
     quad_max_depth: int = struct.field(pytree_node=False, default=20)
+    grid_l: int = struct.field(pytree_node=False, default=GRID_L)
 
 
 def kd_lookup(tree: SDTreeDevice, p):
@@ -93,7 +108,7 @@ def _quadrant(px, py, mx, my):
     ).astype(jnp.int32)
 
 
-def quad_leaf_lookup(tree: SDTreeDevice, root, xy):
+def quad_leaf_lookup_descent(tree: SDTreeDevice, root, xy):
     """Descend to the leaf containing canonical coords xy (N,2)."""
     node = root
     lo = jnp.zeros_like(xy)
@@ -127,7 +142,7 @@ def quad_leaf_lookup(tree: SDTreeDevice, root, xy):
     return node
 
 
-def quad_pdf(tree: SDTreeDevice, root, xy):
+def quad_pdf_descent(tree: SDTreeDevice, root, xy):
     """Solid-angle pdf of the guiding distribution at canonical coords xy:
     1/(4 pi) * prod(4 * irr_child / irr_parent) down the containment path
     (reference quadtree.py:1001-1101, NaN->0 guard at :1090-1092)."""
@@ -174,7 +189,7 @@ def quad_pdf(tree: SDTreeDevice, root, xy):
     return jnp.where(jnp.isfinite(pdf), pdf, 0.0)
 
 
-def quad_sample(tree: SDTreeDevice, root, u1, u2):
+def quad_sample_descent(tree: SDTreeDevice, root, u1, u2):
     """Sample canonical coords from the quadtree CDF descent
     (reference quadtree.py:931-998). Returns (xy, pdf)."""
     node = root
@@ -320,6 +335,7 @@ class SDTree:
 
     def to_device(self) -> SDTreeDevice:
         size = np.maximum(self.bbox_hi - self.bbox_lo, 1e-9)
+        tables = self._build_lookup_tables()
         return SDTreeDevice(
             kd_axis=jnp.asarray(self.kd_axis),
             kd_split=jnp.asarray(self.kd_split),
@@ -328,12 +344,97 @@ class SDTree:
             kd_quad_root=jnp.asarray(self.kd_quad_root),
             q_child=jnp.asarray(self.q_child),
             q_irr=jnp.asarray(self.q_irr.astype(np.float32)),
+            q_depth_dev=jnp.asarray(self.q_depth),
             kd_vert_acc=jnp.zeros(self.kd_capacity, jnp.float32),
             q_irr_acc=jnp.zeros(self.quad_capacity, jnp.float32),
             bbox_lo=jnp.asarray(self.bbox_lo, jnp.float32),
             bbox_inv_size=jnp.asarray(1.0 / size, jnp.float32),
+            root_slot=jnp.asarray(tables["root_slot"]),
+            grid_node=jnp.asarray(tables["grid_node"]),
+            leaf_node=jnp.asarray(tables["leaf_node"]),
+            leaf_cdf=jnp.asarray(tables["leaf_cdf"]),
+            leaf_lo=jnp.asarray(tables["leaf_lo"]),
+            leaf_depth=jnp.asarray(tables["leaf_depth"]),
+            root_leaf_off=jnp.asarray(tables["root_leaf_off"]),
+            root_leaf_cnt=jnp.asarray(tables["root_leaf_cnt"]),
             kd_max_depth=self.kd_max_depth,
             quad_max_depth=self.quad_max_depth,
+            grid_l=GRID_L,
+        )
+
+    @property
+    def max_roots(self) -> int:
+        return self.kd_capacity // 2 + 2
+
+    def _build_lookup_tables(self):
+        """Flattened leaf-CDF + point-location grid (see fast paths below).
+        Native C++ when available; numpy/python reference otherwise."""
+        from . import native
+
+        t = native.build_lookup(self, GRID_L, self.max_roots)
+        if t is not None:
+            return t
+        # --- python fallback (reference implementation) ---
+        res = 1 << GRID_L
+        cells = res * res
+        max_roots = self.max_roots
+        root_slot = np.full(self.quad_capacity, -1, np.int32)
+        grid_node = np.zeros((max_roots, cells), np.int32)
+        leaf_node = np.zeros(self.quad_capacity, np.int32)
+        leaf_cdf = np.ones(self.quad_capacity, np.float32)
+        leaf_lo = np.zeros((self.quad_capacity, 2), np.float32)
+        leaf_depth = np.zeros(self.quad_capacity, np.int32)
+        root_leaf_off = np.zeros(max_roots, np.int32)
+        root_leaf_cnt = np.zeros(max_roots, np.int32)
+        slot = 0
+        pos = 0
+        for i in range(self.kd_count):
+            if not self.kd_leaf[i]:
+                continue
+            root = int(self.kd_quad_root[i])
+            if root < 0 or root_slot[root] >= 0:
+                continue
+            root_slot[root] = slot
+            root_leaf_off[slot] = pos
+            root_irr = self.q_irr[root]
+            acc = 0.0
+            cnt = 0
+            stack = [(root, 0.0, 0.0, 1.0, 0)]
+            while stack:
+                node, lx, ly, sz, d = stack.pop()
+                c = self.q_child[node]
+                is_leaf = c[0] < 0
+                if is_leaf or d == GRID_L:
+                    x0 = int(round(lx * res))
+                    y0 = int(round(ly * res))
+                    span = 1 if d >= GRID_L else res >> d
+                    grid_node[slot,
+                              [yy * res + xx
+                               for yy in range(y0, min(y0 + span, res))
+                               for xx in range(x0, min(x0 + span, res))]] = node
+                if is_leaf:
+                    acc += self.q_irr[node] / root_irr if root_irr > 0 else 0.0
+                    leaf_node[pos] = node
+                    leaf_cdf[pos] = acc
+                    leaf_lo[pos] = (lx, ly)
+                    leaf_depth[pos] = d
+                    pos += 1
+                    cnt += 1
+                    continue
+                h = sz * 0.5
+                mx, my = lx + h, ly + h
+                stack.append((int(c[0]), mx, my, h, d + 1))
+                stack.append((int(c[1]), lx, my, h, d + 1))
+                stack.append((int(c[2]), lx, ly, h, d + 1))
+                stack.append((int(c[3]), mx, ly, h, d + 1))
+            if cnt:
+                leaf_cdf[pos - 1] = 1.0
+            root_leaf_cnt[slot] = cnt
+            slot += 1
+        return dict(
+            root_slot=root_slot, grid_node=grid_node, leaf_node=leaf_node,
+            leaf_cdf=leaf_cdf, leaf_lo=leaf_lo, leaf_depth=leaf_depth,
+            root_leaf_off=root_leaf_off, root_leaf_cnt=root_leaf_cnt,
         )
 
     def absorb_accumulators(self, dev: SDTreeDevice):
@@ -761,3 +862,131 @@ class SDTree:
                 f.write(f"v {v[0]} {v[1]} {v[2]}\n")
             for a, b in lines:
                 f.write(f"l {a} {b}\n")
+
+
+# ===========================================================================
+# Flattened-table fast paths (exactly the same distribution; the tables are
+# rebuilt host-side each iteration — see native.build_lookup). Descent
+# versions above remain the reference implementations (PPG_TPU_FAST_TREE=0).
+# ===========================================================================
+
+import os as _os
+
+USE_FAST_TREE = _os.environ.get("PPG_TPU_FAST_TREE", "1") == "1"
+
+
+def _locate_leaf_fast(tree: SDTreeDevice, root, xy):
+    """Point location: 32x32 grid jump, then a short descent for leaves
+    deeper than the grid."""
+    res = 1 << tree.grid_l
+    slot = tree.root_slot[root]
+    cx = jnp.clip((xy[..., 0] * res).astype(jnp.int32), 0, res - 1)
+    cy = jnp.clip((xy[..., 1] * res).astype(jnp.int32), 0, res - 1)
+    node = tree.grid_node[jnp.maximum(slot, 0), cy * res + cx]
+
+    def cond(carry):
+        i, node = carry
+        return (i < tree.quad_max_depth) & jnp.any(tree.q_child[node, 0] >= 0)
+
+    def body(carry):
+        i, node = carry
+        leaf = tree.q_child[node, 0] < 0
+        # the node containing xy at depth d has lo = floor(xy * 2^d) / 2^d
+        d = tree.q_depth_dev[node]
+        scale = jnp.exp2(d.astype(jnp.float32))
+        mx = (jnp.floor(xy[..., 0] * scale) + 0.5) / scale
+        my = (jnp.floor(xy[..., 1] * scale) + 0.5) / scale
+        c = _quadrant(xy[..., 0], xy[..., 1], mx, my)
+        nxt = tree.q_child[node, c]
+        return i + 1, jnp.where(leaf, node, nxt)
+
+    _, node = jax.lax.while_loop(cond, body, (jnp.int32(0), node))
+    return node
+
+
+def _pdf_at_leaf(tree: SDTreeDevice, root, leaf):
+    """pdf = irr_leaf * 4^depth / (4 pi * irr_root); uniform (1/4pi) for
+    zero-flux roots — identical to the ratio-product of the descent."""
+    root_irr = tree.q_irr[root]
+    irr = tree.q_irr[leaf]
+    d = tree.q_depth_dev[leaf].astype(jnp.float32)
+    pdf = irr * jnp.exp2(2.0 * d) * INV_FOUR_PI / jnp.maximum(root_irr, 1e-30)
+    return jnp.where(root_irr > 0, pdf, INV_FOUR_PI)
+
+
+def quad_leaf_lookup_fast(tree: SDTreeDevice, root, xy):
+    return _locate_leaf_fast(tree, root, xy)
+
+
+def quad_pdf_fast(tree: SDTreeDevice, root, xy):
+    leaf = _locate_leaf_fast(tree, root, xy)
+    pdf = _pdf_at_leaf(tree, root, leaf)
+    return jnp.where(jnp.isfinite(pdf), pdf, 0.0)
+
+
+def quad_sample_fast(tree: SDTreeDevice, root, u1, u2):
+    """Leaf-CDF sampling: binary search over the tree's DFS leaf list."""
+    slot = jnp.maximum(tree.root_slot[root], 0)
+    off = tree.root_leaf_off[slot]
+    cnt = tree.root_leaf_cnt[slot]
+
+    # first index in [0, cnt) with leaf_cdf[off + i] > u1
+    lo = jnp.zeros_like(off)
+    hi = cnt
+
+    def cond(carry):
+        i, lo, hi = carry
+        return (i < 24) & jnp.any(lo < hi)
+
+    def body(carry):
+        i, lo, hi = carry
+        mid = (lo + hi) // 2
+        v = tree.leaf_cdf[off + mid]
+        gt = v > u1
+        hi2 = jnp.where(gt, mid, hi)
+        lo2 = jnp.where(gt, lo, mid + 1)
+        keep = lo < hi
+        return i + 1, jnp.where(keep, lo2, lo), jnp.where(keep, hi2, hi)
+
+    _, idx, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), lo, hi))
+    idx = jnp.clip(idx, 0, jnp.maximum(cnt - 1, 0))
+    gidx = off + idx
+    leaf = tree.leaf_node[gidx]
+    cdf_hi = tree.leaf_cdf[gidx]
+    cdf_lo = jnp.where(idx > 0, tree.leaf_cdf[jnp.maximum(gidx - 1, 0)], 0.0)
+    p_leaf = jnp.maximum(cdf_hi - cdf_lo, 1e-12)
+    u1r = jnp.clip((u1 - cdf_lo) / p_leaf, 0.0, 1.0 - 1e-7)
+    d = tree.leaf_depth[gidx].astype(jnp.float32)
+    size = jnp.exp2(-d)
+    llo = tree.leaf_lo[gidx]
+    xy = jnp.stack(
+        [llo[..., 0] + size * u1r, llo[..., 1] + size * u2], axis=-1
+    )
+    pdf = _pdf_at_leaf(tree, root, leaf)
+
+    # zero-flux root: uniform over the canonical square (matches the
+    # descent's uniform fallback)
+    root_irr = tree.q_irr[root]
+    uni = root_irr <= 0
+    xy = jnp.where(uni[..., None], jnp.stack([u1, u2], axis=-1), xy)
+    xy = jnp.clip(xy, 0.0, 1.0 - 1e-7)
+    pdf = jnp.where(uni, INV_FOUR_PI, pdf)
+    return xy, pdf
+
+
+def quad_leaf_lookup(tree, root, xy):
+    if USE_FAST_TREE:
+        return quad_leaf_lookup_fast(tree, root, xy)
+    return quad_leaf_lookup_descent(tree, root, xy)
+
+
+def quad_pdf(tree, root, xy):
+    if USE_FAST_TREE:
+        return quad_pdf_fast(tree, root, xy)
+    return quad_pdf_descent(tree, root, xy)
+
+
+def quad_sample(tree, root, u1, u2):
+    if USE_FAST_TREE:
+        return quad_sample_fast(tree, root, u1, u2)
+    return quad_sample_descent(tree, root, u1, u2)

@@ -204,3 +204,49 @@ def test_npz_roundtrip(tmp_path):
     l1, r1 = sd.kd_lookup(dev1, p)
     l2, r2 = sd.kd_lookup(dev2, p)
     assert np.array_equal(np.asarray(r1), np.asarray(r2))
+
+
+def test_fast_tables_match_descent():
+    """The flattened-table fast paths (grid point location + leaf-CDF
+    sampling) must match the reference descent implementations exactly in
+    distribution: same located leaves, same pdfs, consistent samples."""
+    import jax.numpy as jnp
+
+    t = _make_tree()
+    _splat_random(t, n=60000, seed=21)
+    t.kd_threshold = 3000.0
+    t.set_refinement_threshold(0)
+    t.refine()
+    t.reset_counters()
+    _splat_random(t, n=60000, seed=22)
+    t.refine()
+    t.reset_counters()
+    _splat_random(t, n=60000, seed=23)
+    dev = t.to_device()
+
+    rng = np.random.default_rng(5)
+    m = 30000
+    p = jnp.asarray(rng.random((m, 3)), jnp.float32)
+    _, roots = sd.kd_lookup(dev, p)
+    xy = jnp.asarray(rng.random((m, 2)), jnp.float32)
+
+    leaf_a = np.asarray(sd.quad_leaf_lookup_fast(dev, roots, xy))
+    leaf_b = np.asarray(sd.quad_leaf_lookup_descent(dev, roots, xy))
+    assert (leaf_a == leaf_b).mean() > 0.999  # boundary cells may differ
+
+    pdf_a = np.asarray(sd.quad_pdf_fast(dev, roots, xy))
+    pdf_b = np.asarray(sd.quad_pdf_descent(dev, roots, xy))
+    same = leaf_a == leaf_b
+    assert np.allclose(pdf_a[same], pdf_b[same], rtol=2e-3, atol=1e-7)
+
+    u1 = jnp.asarray(rng.random(m), jnp.float32)
+    u2 = jnp.asarray(rng.random(m), jnp.float32)
+    xy_f, pdf_f = sd.quad_sample_fast(dev, roots, u1, u2)
+    # sampled pdf must agree with the pdf lookup at the sampled point
+    pdf_q = np.asarray(sd.quad_pdf_fast(dev, roots, xy_f))
+    ok = np.asarray(pdf_f) > 1e-9
+    assert np.allclose(np.asarray(pdf_f)[ok], pdf_q[ok], rtol=2e-3)
+    # and the fast sampler's distribution integrates to 1
+    pdf_u = np.asarray(sd.quad_pdf_fast(dev, roots, xy))
+    integral = pdf_u.mean() * 4 * np.pi
+    assert abs(integral - 1.0) < 0.05
