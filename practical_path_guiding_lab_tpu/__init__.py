@@ -23,6 +23,30 @@ Architecture (TPU-first, not a translation):
 
 __version__ = "0.1.0"
 
+
+def load_scene(path, **overrides):
+    """Parse + compile a Mitsuba XML scene (mi.load_file equivalent)."""
+    from .scene.scene import load_scene as _ls
+
+    return _ls(path, **overrides)
+
+
+def __getattr__(name):
+    # lazy top-level conveniences without import-time jax cost
+    if name == "PathGuidingIntegrator":
+        from .render.integrator import PathGuidingIntegrator
+
+        return PathGuidingIntegrator
+    if name == "PathTracingIntegrator":
+        from .render.integrator import PathTracingIntegrator
+
+        return PathTracingIntegrator
+    if name == "SDTree":
+        from .guiding.sdtree import SDTree
+
+        return SDTree
+    raise AttributeError(name)
+
 # Persistent compilation cache: first-compile of the fused render passes is
 # expensive on remote-compile TPU backends; cache across processes/rounds.
 import os as _os
