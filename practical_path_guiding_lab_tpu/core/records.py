@@ -41,33 +41,37 @@ class Intersection:
 
 @struct.dataclass
 class PathRecords:
-    """Per-vertex training records, shape (num_rays, max_depth, ...).
+    """Per-vertex training records, DEPTH-major: shape (max_depth, N, ...).
 
-    Mirrors the reference record fields (common.py:17-40); radiance here is
-    reconstructed after the pass (path_guiding_integrator.py:434-453).
+    Mirrors the reference record fields (common.py:17-40, written at
+    globalIndex = ray * max_depth + depth, path_guiding_integrator.py:318);
+    depth-major lets each bounce write one contiguous row (a cheap
+    dynamic_update_index) instead of N scatters. ``lane`` maps each row
+    entry back to its original film sample (-1 = not written) since the
+    wavefront is live-compacted.
     """
 
-    position: jnp.ndarray            # (N, D, 3)
-    canonical_dir: jnp.ndarray       # (N, D, 2) wo in canonical square
-    throughput_radiance: jnp.ndarray # (N, D, 3) L at record time (:334)
-    throughput_bsdf: jnp.ndarray     # (N, D, 3) path throughput BEFORE this
+    lane: jnp.ndarray                # (D, N) int32 original sample row, -1 unused
+    position: jnp.ndarray            # (D, N, 3)
+    canonical_dir: jnp.ndarray       # (D, N, 2) wo in canonical square
+    throughput_radiance: jnp.ndarray # (D, N, 3) L at record time (:334)
+    throughput_bsdf: jnp.ndarray     # (D, N, 3) path throughput BEFORE this
                                      # bounce's weight multiply (:332)
-    bsdf_weight: jnp.ndarray         # (N, D, 3) bsdf_value / woPdf (:330)
-    nee_radiance: jnp.ndarray        # (N, D, 3) Lr_dir / throughput (:337)
-    nee_dir: jnp.ndarray             # (N, D, 2) canonical NEE direction
-    wo_pdf: jnp.ndarray              # (N, D) one-sample-MIS mixture pdf
-    bsdf_pdf: jnp.ndarray            # (N, D)
-    is_delta: jnp.ndarray            # (N, D) bool
-    active: jnp.ndarray              # (N, D) bool — row was written
+    bsdf_weight: jnp.ndarray         # (D, N, 3) bsdf_value / woPdf (:330)
+    nee_radiance: jnp.ndarray        # (D, N, 3) Lr_dir / throughput (:337)
+    nee_dir: jnp.ndarray             # (D, N, 2) canonical NEE direction
+    wo_pdf: jnp.ndarray              # (D, N) one-sample-MIS mixture pdf
+    bsdf_pdf: jnp.ndarray            # (D, N)
+    is_delta: jnp.ndarray            # (D, N) bool
 
     @staticmethod
     def zeros(num_rays: int, max_depth: int) -> "PathRecords":
         n, d = num_rays, max_depth
-        f = lambda *s: jnp.zeros((n, d) + s, jnp.float32)
-        b = lambda: jnp.zeros((n, d), bool)
+        f = lambda *s: jnp.zeros((d, n) + s, jnp.float32)
         return PathRecords(
+            lane=jnp.full((d, n), -1, jnp.int32),
             position=f(3), canonical_dir=f(2),
             throughput_radiance=f(3), throughput_bsdf=f(3), bsdf_weight=f(3),
             nee_radiance=f(3), nee_dir=f(2),
-            wo_pdf=f(), bsdf_pdf=f(), is_delta=b(), active=b(),
+            wo_pdf=f(), bsdf_pdf=f(), is_delta=jnp.zeros((d, n), bool),
         )

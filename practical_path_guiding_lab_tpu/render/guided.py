@@ -200,22 +200,21 @@ def _bounce_body(scene, tree_prev, seed0, pass_index, iteration,
     if record:
         store = hit  # & ~final (record=False in final iteration)
         r = s["recs"]
+        rec_idx = lane_ids - s["lane_base"]  # shard-local original row
 
-        nrec = getattr(r, "wo_pdf").shape[0]
-        rec_idx = lane_ids - s["lane_base"]  # shard-local row
-
-        def put(field, value, mask):
-            # scatter at original (shard-local) lane rows; masked-off
-            # lanes write out of bounds and are dropped
+        def put(field, value, mask=None):
+            # depth-major layout: each bounce writes one contiguous row
             arr = getattr(r, field)
-            idx = jnp.where(mask, rec_idx, nrec)
-            return arr.at[idx, depth].set(value, mode="drop")
+            if mask is not None:
+                value = jnp.where(
+                    mask[:, None] if value.ndim > 1 else mask, value, 0.0
+                )
+            return jax.lax.dynamic_update_index_in_dim(arr, value, depth, 0)
 
         r = r.replace(
+            lane=put("lane", jnp.where(store, rec_idx, -1)),
             position=put("position", si.p, store),
-            canonical_dir=put(
-                "canonical_dir", dir_to_canonical(wo), store
-            ),
+            canonical_dir=put("canonical_dir", dir_to_canonical(wo), store),
             throughput_radiance=put("throughput_radiance", L, store),
             throughput_bsdf=put("throughput_bsdf", tp, store),
             bsdf_weight=put("bsdf_weight", bsdf_weight, store),
@@ -227,8 +226,7 @@ def _bounce_body(scene, tree_prev, seed0, pass_index, iteration,
             nee_dir=put("nee_dir", dir_to_canonical(nee["wo"]), store & nee_ok),
             wo_pdf=put("wo_pdf", wo_pdf, store),
             bsdf_pdf=put("bsdf_pdf", bs["pdf"], store),
-            is_delta=put("is_delta", bs["delta"], store),
-            active=put("active", store, store),
+            is_delta=put("is_delta", bs["delta"] & store),
         )
         s["recs"] = r
 
@@ -310,9 +308,10 @@ def render_guided_wavefront_stepped(
 def process_and_splat(tree_current: sd.SDTreeDevice, recs: PathRecords, L_final):
     """Reconstruct per-vertex incident radiance and splat into the current
     tree (reference processPathData + scatterDataIntoSDTree + addDataPropagate).
-    Returns the updated tree."""
-    n, d = recs.wo_pdf.shape
-    Lv = jnp.broadcast_to(L_final[:, None, :], (n, d, 3))
+    Returns the updated tree. ``L_final`` must be in FILM order (the record
+    rows carry original sample indices)."""
+    d, n = recs.wo_pdf.shape
+    Lv = L_final[jnp.maximum(recs.lane, 0)]  # (D, N, 3) gather by sample row
     outgoing = nan_to_zero(
         (Lv - recs.throughput_radiance)
         / jnp.where(
@@ -327,7 +326,7 @@ def process_and_splat(tree_current: sd.SDTreeDevice, recs: PathRecords, L_final)
 
     wo_pdf = recs.wo_pdf
     good_pdf = (wo_pdf > 0) & jnp.isfinite(wo_pdf)
-    mask = recs.active & good_pdf & ~((radiance == 0) & (nee_lum == 0))
+    mask = (recs.lane >= 0) & good_pdf & ~((radiance == 0) & (nee_lum == 0))
 
     value = jnp.where(good_pdf, radiance / jnp.maximum(wo_pdf, 1e-30), 0.0)
     nee_value = jnp.where(good_pdf, nee_lum / jnp.maximum(wo_pdf, 1e-30), 0.0)
