@@ -66,3 +66,65 @@ def test_guided_variance_not_worse(trained):
         trained.render_pass(22, p)
     var_unguided = trained.computeVariance(8)
     assert var_guided < var_unguided * 1.5
+
+
+def test_process_and_splat_numpy_oracle():
+    """Depth-major reconstruction oracle: hand-build PathRecords with a
+    scrambled lane map and verify the splatted totals against a plain
+    numpy re-derivation of the reference formulas
+    (path_guiding_integrator.py:434-500)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from practical_path_guiding_lab_tpu.core.records import PathRecords
+    from practical_path_guiding_lab_tpu.guiding import sdtree as sd
+    from practical_path_guiding_lab_tpu.render.guided import process_and_splat
+
+    rng_np = np.random.default_rng(42)
+    N, D = 64, 4
+    recs = PathRecords.zeros(N, D)
+    # scrambled, partially-unwritten lane map (live compaction permutes rows)
+    lane = np.full((D, N), -1, np.int32)
+    for d in range(D):
+        k = N - d * 10  # fewer live lanes at deeper bounces
+        lane[d, :k] = rng_np.permutation(N)[:k]
+    f3 = lambda: rng_np.random((D, N, 3)).astype(np.float32) + 0.1
+    tp_rad = f3() * 0.2
+    tp_bsdf = f3()
+    bsdf_w = f3()
+    nee_rad = f3() * 0.5
+    wo_pdf = (rng_np.random((D, N)).astype(np.float32) + 0.05)
+    wo_pdf[1, ::7] = 0.0  # some invalid pdf rows must be dropped
+    pos = rng_np.random((D, N, 3)).astype(np.float32)
+    cdir = rng_np.random((D, N, 2)).astype(np.float32)
+    ndir = rng_np.random((D, N, 2)).astype(np.float32)
+    recs = recs.replace(
+        lane=jnp.asarray(lane), position=jnp.asarray(pos),
+        canonical_dir=jnp.asarray(cdir), nee_dir=jnp.asarray(ndir),
+        throughput_radiance=jnp.asarray(tp_rad),
+        throughput_bsdf=jnp.asarray(tp_bsdf),
+        bsdf_weight=jnp.asarray(bsdf_w),
+        nee_radiance=jnp.asarray(nee_rad),
+        wo_pdf=jnp.asarray(wo_pdf),
+    )
+    L_final = (rng_np.random((N, 3)).astype(np.float32) + 0.3)
+
+    tree = sd.SDTree([0, 0, 0], [1, 1, 1], kd_capacity=64, quad_capacity=256)
+    dev = process_and_splat(tree.to_device(), recs, jnp.asarray(L_final))
+
+    # numpy oracle of the same reconstruction
+    lum = lambda c: c @ np.array([0.212671, 0.71516, 0.072169], np.float32)
+    Lv = L_final[np.maximum(lane, 0)]
+    outgoing = (Lv - tp_rad) / tp_bsdf
+    incoming = outgoing / bsdf_w
+    radiance = lum(incoming)
+    nee_lum = lum(nee_rad)
+    good = (wo_pdf > 0) & np.isfinite(wo_pdf)
+    mask = (lane >= 0) & good & ~((radiance == 0) & (nee_lum == 0))
+    exp_irr = ((radiance / np.where(good, wo_pdf, np.inf)) * mask).sum() \
+        + ((nee_lum / np.where(good, wo_pdf, np.inf)) * mask).sum()
+    exp_vert = mask.sum()
+
+    got_irr = float(np.asarray(dev.q_irr_acc).sum())
+    got_vert = float(np.asarray(dev.kd_vert_acc).sum())
+    assert abs(got_vert - exp_vert) < 1e-3
+    assert abs(got_irr - exp_irr) < 1e-3 * max(exp_irr, 1.0)
