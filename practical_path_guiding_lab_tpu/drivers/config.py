@@ -70,4 +70,8 @@ class RepeatConfig:
 
 
 def scene_path(name: str) -> Path:
+    if name not in SCENE_FILES:
+        raise SystemExit(
+            f"unknown scene '{name}'; available: {', '.join(sorted(SCENE_FILES))}"
+        )
     return SCENES_ROOT / SCENE_FILES[name]

@@ -155,6 +155,14 @@ def train(cfg: TrainConfig):
             iter_spp_count += curr_pass_spp
             cumm_spp += curr_pass_spp
 
+            # per-pass progress line (reference progressbar, main.py:204-205)
+            print(
+                f"  pass {pass_i + 1}/{iter_pass} "
+                f"(iter spp {iter_spp_count}/{iter_spp}, "
+                f"{time.perf_counter() - t_iter0:.1f}s)",
+                flush=True,
+            )
+
             if cfg.record_in_iteration:
                 variance = integrator.computeVariance(image_spp)
                 elapse = (time.perf_counter() - t_iter0) + cumm_time
