@@ -102,6 +102,7 @@ if __name__ == "__main__":
     ap.add_argument("--time-budget", type=float, default=None)
     ap.add_argument("--resx", type=int, default=None)
     ap.add_argument("--resy", type=int, default=None)
+    ap.add_argument("--out", default="debug", help="output root directory")
     args = ap.parse_args()
     overrides = {}
     if args.resx:
@@ -114,6 +115,7 @@ if __name__ == "__main__":
         target_spp=args.spp,
         use_time_budget=args.time_budget is not None,
         time_budget=args.time_budget or 1000.0,
+        out_root=args.out or "debug",
     )
     out = render_baseline(cfg)
     print_bold_underline(

@@ -121,6 +121,9 @@ if __name__ == "__main__":
     ap.add_argument("--iterations", type=int, default=10)
     ap.add_argument("--spp", type=int, default=1024)
     ap.add_argument("--sims", type=int, default=2)
+    ap.add_argument("--out", default="debug", help="output root directory")
+    ap.add_argument("--resx", type=int, default=None)
+    ap.add_argument("--resy", type=int, default=None)
     args = ap.parse_args()
     run_repeat(
         RepeatConfig(
@@ -128,5 +131,11 @@ if __name__ == "__main__":
             iterations=args.iterations,
             iter_spp=args.spp,
             total_simulations=args.sims,
+            out_root=args.out or "debug",
+            scene_overrides={
+                k: v
+                for k, v in (("resx", args.resx), ("resy", args.resy))
+                if v
+            },
         )
     )

@@ -323,6 +323,7 @@ if __name__ == "__main__":
     ap.add_argument("--budget", type=int, default=252)
     ap.add_argument("--resx", type=int, default=None)
     ap.add_argument("--resy", type=int, default=None)
+    ap.add_argument("--out", default="debug", help="output root directory")
     args = ap.parse_args()
     overrides = {}
     if args.resx:
@@ -330,7 +331,8 @@ if __name__ == "__main__":
     if args.resy:
         overrides["resy"] = args.resy
     out = train(
-        TrainConfig(scene=args.scene, budget_spp=args.budget, scene_overrides=overrides)
+        TrainConfig(scene=args.scene, budget_spp=args.budget,
+                    scene_overrides=overrides, out_root=args.out or "debug")
     )
     print_bold_underline(
         f"done: {out['cumm_spp']} spp, {out['time']:.1f}s, "
