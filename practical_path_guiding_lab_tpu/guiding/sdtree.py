@@ -475,13 +475,74 @@ class SDTree:
         self.kd_threshold = KD_SPLIT_C * np.sqrt(2.0**iteration)
 
     def refine(self):
-        from . import native
+        """Refine with automatic capacity growth: split/merge can need more
+        node slots than preallocated (the reference grows its Dr.Jit arrays
+        on demand, common.py:161-189); on overflow we restore the pre-refine
+        state, double the overflowing pool, and retry."""
+        for _ in range(8):  # up to 256x growth
+            snap = self._snapshot_mutable()
+            try:
+                from . import native
 
-        if native.refine(self):  # C++ engine; Python below is the reference
-            return
-        self._kd_refine()
-        self._quad_refine()
-        self._compact_quad()
+                if native.refine(self):  # C++ engine; Python is the reference
+                    return
+                self._kd_refine()
+                self._quad_refine()
+                self._compact_quad()
+                return
+            except RuntimeError as e:
+                self._restore_mutable(snap)
+                if "quad capacity" in str(e):
+                    self._grow_quad()
+                elif "kd capacity" in str(e):
+                    self._grow_kd()
+                else:
+                    raise
+        raise RuntimeError("SD-tree refinement exceeded growth limit")
+
+    _MUTABLE = (
+        "kd_axis", "kd_split", "kd_left", "kd_leaf", "kd_depth", "kd_vert",
+        "kd_quad_root", "q_child", "q_irr", "q_depth", "q_threshold",
+    )
+
+    def _snapshot_mutable(self):
+        s = {k: getattr(self, k).copy() for k in self._MUTABLE}
+        s["kd_count"] = self.kd_count
+        s["q_count"] = self.q_count
+        return s
+
+    def _restore_mutable(self, s):
+        for k in self._MUTABLE:
+            setattr(self, k, s[k])
+        self.kd_count = s["kd_count"]
+        self.q_count = s["q_count"]
+
+    def _grow_quad(self):
+        old = self.quad_capacity
+        self.quad_capacity = old * 2
+        print(f"[sdtree] quad pool grown {old} -> {self.quad_capacity}", flush=True)
+        grow = lambda a, fill: np.concatenate(
+            [a, np.full((old,) + a.shape[1:], fill, a.dtype)]
+        )
+        self.q_child = grow(self.q_child, -1)
+        self.q_irr = grow(self.q_irr, 0)
+        self.q_depth = grow(self.q_depth, 0)
+        self.q_threshold = grow(self.q_threshold, 0)
+
+    def _grow_kd(self):
+        old = self.kd_capacity
+        self.kd_capacity = old * 2
+        print(f"[sdtree] kd pool grown {old} -> {self.kd_capacity}", flush=True)
+        grow = lambda a, fill: np.concatenate(
+            [a, np.full((old,) + a.shape[1:], fill, a.dtype)]
+        )
+        self.kd_axis = grow(self.kd_axis, 0)
+        self.kd_split = grow(self.kd_split, 0.5)
+        self.kd_left = grow(self.kd_left, -1)
+        self.kd_leaf = grow(self.kd_leaf, False)
+        self.kd_depth = grow(self.kd_depth, 0)
+        self.kd_vert = grow(self.kd_vert, 0)
+        self.kd_quad_root = grow(self.kd_quad_root, -1)
 
     def _kd_split_node(self, i):
         if self.kd_count + 2 > self.kd_capacity:

@@ -250,3 +250,34 @@ def test_fast_tables_match_descent():
     pdf_u = np.asarray(sd.quad_pdf_fast(dev, roots, xy))
     integral = pdf_u.mean() * 4 * np.pi
     assert abs(integral - 1.0) < 0.05
+
+
+def test_refine_auto_grows_capacity():
+    """Refinement must survive overflowing the preallocated node pools by
+    growing them (the full-res veach-ajar run overflowed 2^21 quad nodes
+    mid-training); energy and structure invariants must hold after growth."""
+    t = sd.SDTree([0, 0, 0], [1, 1, 1], kd_capacity=16, quad_capacity=64)
+    total, n = _splat_random(t, n=50000)
+    t.kd_threshold = 500.0  # forces many kd splits -> kd + quad overflow
+    t.set_refinement_threshold(0)
+    t.refine()
+    assert t.kd_capacity > 16 or t.quad_capacity > 64  # grew
+    assert t.kd_count <= t.kd_capacity and t.q_count <= t.quad_capacity
+    # invariants still hold post-growth
+    for i in range(t.kd_count):
+        l = t.kd_left[i]
+        if l >= 0:
+            assert abs(t.kd_vert[l] + t.kd_vert[l + 1] - t.kd_vert[i]) < 1e-6
+    for i in range(t.q_count):
+        c = t.q_child[i]
+        if c[0] >= 0:
+            assert abs(t.q_irr[c].sum() - t.q_irr[i]) < 1e-3 * max(t.q_irr[i], 1)
+    # device round-trip still works at the new capacity
+    dev = t.to_device()
+    import jax.numpy as jnp
+    p = jnp.asarray(np.random.default_rng(7).random((500, 3)), jnp.float32)
+    leaf, root = sd.kd_lookup(dev, p)
+    assert np.all(np.asarray(leaf) < t.kd_count)
+    xy = jnp.asarray(np.random.default_rng(8).random((500, 2)), jnp.float32)
+    pdf = sd.quad_pdf(dev, root, xy)
+    assert np.all(np.isfinite(np.asarray(pdf)))
