@@ -17,6 +17,10 @@ from ..core.math import dot, normalize, safe_sqrt
 from ..core.records import Intersection
 
 TRI_BLOCK = 128
+# the clustered kernel's Mosaic temporaries scale with cluster count and
+# blow the 16 MB scoped-VMEM limit on big scenes (measured: torus, 512
+# clusters, 16.19 MB); route those to the brute kernel
+MAX_CLUSTERS_FOR_CLUSTERED = 256
 
 
 def _use_pallas() -> bool:
@@ -127,17 +131,31 @@ def intersect(scene, o, d, t_near=None, t_far=None, n_live=None) -> Intersection
     if _use_pallas() and "soa_c" in scene.tris:
         from ..ops.pallas.intersect import (
             CLUSTER_SIZE,
+            pallas_closest_hit,
             pallas_closest_hit_clustered,
         )
 
-        tt, slot, tu, tv = pallas_closest_hit_clustered(
-            scene.tris["soa_c"], scene.tris["cluster_bounds"], o, d, t_near,
-            jnp.where(jnp.isfinite(t_far), t_far, 1e30),
-            int(scene.tris["soa_c"].shape[0]) // CLUSTER_SIZE,
-            n_live=n_live,
-        )
-        ti = jnp.where(slot >= 0, scene.tris["soa_map"][jnp.maximum(slot, 0)], -1)
-        tt = jnp.where(ti >= 0, tt, jnp.inf)
+        n_clusters = int(scene.tris["soa_c"].shape[0]) // CLUSTER_SIZE
+        if n_clusters > MAX_CLUSTERS_FOR_CLUSTERED:
+            # big scenes: the clustered kernel's scoped-VMEM footprint
+            # (cluster fori + cond temporaries) exceeds the 16 MB limit;
+            # the brute kernel stays within it
+            tt, ti, tu, tv = pallas_closest_hit(
+                scene.tris["soa"], o, d, t_near,
+                jnp.where(jnp.isfinite(t_far), t_far, 1e30),
+                int(scene.tris["soa"].shape[0]), n_live=n_live,
+            )
+            tt = jnp.where(ti >= 0, tt, jnp.inf)
+        else:
+            tt, slot, tu, tv = pallas_closest_hit_clustered(
+                scene.tris["soa_c"], scene.tris["cluster_bounds"], o, d,
+                t_near, jnp.where(jnp.isfinite(t_far), t_far, 1e30),
+                n_clusters, n_live=n_live,
+            )
+            ti = jnp.where(
+                slot >= 0, scene.tris["soa_map"][jnp.maximum(slot, 0)], -1
+            )
+            tt = jnp.where(ti >= 0, tt, jnp.inf)
     else:
         tt, ti, tu, tv = _scan_triangles(o, d, scene.tris, t_near, t_far)
     st, si = _intersect_spheres(o, d, scene.spheres, t_near, t_far)
@@ -227,13 +245,23 @@ def occluded(scene, o, d, t_max, n_live=None) -> jnp.ndarray:
     if _use_pallas() and "soa_c" in scene.tris:
         from ..ops.pallas.intersect import (
             CLUSTER_SIZE,
+            pallas_any_hit,
             pallas_any_hit_clustered,
         )
 
+        n_clusters = int(scene.tris["soa_c"].shape[0]) // CLUSTER_SIZE
+        if n_clusters > MAX_CLUSTERS_FOR_CLUSTERED:
+            hit_tri = pallas_any_hit(
+                scene.tris["soa"], o, d, t_near,
+                jnp.where(jnp.isfinite(t_far), t_far, 1e30),
+                int(scene.tris["soa"].shape[0]), n_live=n_live,
+            )
+            st, si = _intersect_spheres(o, d, scene.spheres, t_near, t_far)
+            return hit_tri | (si >= 0)
         hit_tri = pallas_any_hit_clustered(
             scene.tris["soa_c"], scene.tris["cluster_bounds"], o, d, t_near,
             jnp.where(jnp.isfinite(t_far), t_far, 1e30),
-            int(scene.tris["soa_c"].shape[0]) // CLUSTER_SIZE,
+            n_clusters,
             n_live=n_live,
         )
     else:
