@@ -303,9 +303,12 @@ extern "C" int build_lookup(
       stack.pop_back();
       const int32_t* c = q_child + f.node * 4;
       bool is_leaf = c[0] < 0;
-      // grid fill: stamp at leaves and at grid depth. The runtime descent
-      // continues from the stamped node, so do NOT stamp deeper nodes.
-      if (is_leaf || f.depth == grid_l) {
+      // grid fill: stamp shallow leaves (cover >= 1 full cell) and any node
+      // at exactly grid depth (covers exactly 1 cell). A node DEEPER than
+      // the grid covers only a fraction of its cell — stamping it would
+      // clobber the cell's covering ancestor and mislocate points in the
+      // rest of the cell (the runtime descent cannot walk upward).
+      if ((is_leaf && f.depth <= grid_l) || f.depth == grid_l) {
         int32_t x0 = (int32_t)(f.lx * res + 0.5f);
         int32_t y0 = (int32_t)(f.ly * res + 0.5f);
         int32_t span = f.depth >= grid_l ? 1 : (res >> f.depth);

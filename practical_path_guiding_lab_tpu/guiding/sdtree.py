@@ -404,7 +404,9 @@ class SDTree:
                 node, lx, ly, sz, d = stack.pop()
                 c = self.q_child[node]
                 is_leaf = c[0] < 0
-                if is_leaf or d == GRID_L:
+                # stamp only nodes covering >= 1 full cell (deeper leaves
+                # would clobber their cell's covering ancestor)
+                if (is_leaf and d <= GRID_L) or d == GRID_L:
                     x0 = int(round(lx * res))
                     y0 = int(round(ly * res))
                     span = 1 if d >= GRID_L else res >> d

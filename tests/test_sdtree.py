@@ -232,12 +232,14 @@ def test_fast_tables_match_descent():
 
     leaf_a = np.asarray(sd.quad_leaf_lookup_fast(dev, roots, xy))
     leaf_b = np.asarray(sd.quad_leaf_lookup_descent(dev, roots, xy))
-    assert (leaf_a == leaf_b).mean() > 0.999  # boundary cells may differ
+    # EXACT equality: grid jump + power-of-two midpoint arithmetic is exact;
+    # a looser bound here once hid a cell-stamping bug that biased renders
+    # on deep trees (leaves deeper than the grid clobbering their cell)
+    assert np.array_equal(leaf_a, leaf_b)
 
     pdf_a = np.asarray(sd.quad_pdf_fast(dev, roots, xy))
     pdf_b = np.asarray(sd.quad_pdf_descent(dev, roots, xy))
-    same = leaf_a == leaf_b
-    assert np.allclose(pdf_a[same], pdf_b[same], rtol=2e-3, atol=1e-7)
+    assert np.allclose(pdf_a, pdf_b, rtol=2e-3, atol=1e-7)
 
     u1 = jnp.asarray(rng.random(m), jnp.float32)
     u2 = jnp.asarray(rng.random(m), jnp.float32)
@@ -281,3 +283,38 @@ def test_refine_auto_grows_capacity():
     xy = jnp.asarray(np.random.default_rng(8).random((500, 2)), jnp.float32)
     pdf = sd.quad_pdf(dev, root, xy)
     assert np.all(np.isfinite(np.asarray(pdf)))
+
+
+def test_fast_tables_deep_tree_exact():
+    """Regression: leaves DEEPER than the 32x32 point-location grid must not
+    clobber their cell's stamped ancestor. Build a tree refined well past
+    grid depth and require exact fast==descent agreement (this bug darkened
+    full-res guided renders by 2.3x before being caught)."""
+    import jax.numpy as jnp
+
+    t = sd.SDTree([0, 0, 0], [1, 1, 1], kd_capacity=64, quad_capacity=1 << 18)
+    rng = np.random.default_rng(33)
+    dev = t.to_device()
+    # concentrated directional splats force deep quad refinement (> grid_l)
+    n = 80000
+    xy = np.clip(0.5 + 0.02 * rng.standard_normal((n, 2)), 0, 1).astype(np.float32)
+    p = rng.random((n, 3)).astype(np.float32)
+    for it in range(6):  # repeated splat+refine drives leaves to depth ~10+
+        dev = sd.splat(dev, jnp.asarray(p), jnp.asarray(xy),
+                       jnp.ones(n) * 100.0, jnp.ones(n))
+        t.absorb_accumulators(dev)
+        t.set_refinement_threshold(0)
+        t.refine()
+        t.reset_counters()
+        dev = t.to_device()
+    depths = t.q_depth[: t.q_count]
+    assert depths.max() > sd.GRID_L + 2  # the regression precondition
+    m = 30000
+    roots = jnp.zeros(m, jnp.int32)
+    q = jnp.asarray(rng.random((m, 2)), jnp.float32)
+    leaf_f = np.asarray(sd.quad_leaf_lookup_fast(dev, roots, q))
+    leaf_d = np.asarray(sd.quad_leaf_lookup_descent(dev, roots, q))
+    assert np.array_equal(leaf_f, leaf_d)
+    pdf_f = np.asarray(sd.quad_pdf_fast(dev, roots, q))
+    pdf_d = np.asarray(sd.quad_pdf_descent(dev, roots, q))
+    assert np.allclose(pdf_f, pdf_d, rtol=2e-3, atol=1e-7)
