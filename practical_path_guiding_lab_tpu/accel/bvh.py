@@ -24,11 +24,12 @@ MAX_STACK = 64  # >= 2 * max tree depth; SAH trees on these scenes are < 32
 
 
 def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
-              leaf_size: int = LEAF_SIZE):
+              leaf_size: int = LEAF_SIZE, strict_leaf: bool = False):
     """Binned-SAH top-down build. Returns a dict of flat numpy arrays:
     node_lo/node_hi (N,3) f32, right (N,) i32 (-1 for leaves),
     start/count (N,) i32 (valid for leaves), order (T,) i32 triangle
-    permutation."""
+    permutation. ``strict_leaf`` forces every leaf to hold <= leaf_size
+    triangles (the Pallas skip-traversal kernel's fixed block size)."""
     t = len(v0)
     if t == 0:
         return {
@@ -98,7 +99,7 @@ def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
         best = int(np.argmin(costs))
         leaf_cost = area(lo[idx].min(0), hi[idx].max(0)) * len(idx)
         if not np.isfinite(costs[best]) or costs[best] >= leaf_cost:
-            if len(idx) <= 2 * leaf_size:
+            if not strict_leaf and len(idx) <= 2 * leaf_size:
                 return None
             return ("median", axis)
         thr = cmin[axis] + (best + 1) * ext[axis] / N_BINS

@@ -30,6 +30,14 @@ def _use_pallas() -> bool:
         return False
 
 
+def _kernel_choice() -> str:
+    """Production intersector selection: 'bvh' (default), or 'brute' /
+    'cluster' via PPG_INTERSECT for A/B benchmarking."""
+    import os
+
+    return os.environ.get("PPG_INTERSECT", "bvh")
+
+
 def _intersect_tri_block(o, d, v0, e1, e2):
     """Moller-Trumbore: rays (N,3) x tri block (B,3) -> t, u, v, valid (N,B)."""
     # pvec = d x e2 : (N, B, 3)
@@ -128,7 +136,23 @@ def intersect(scene, o, d, t_near=None, t_far=None, n_live=None) -> Intersection
         t_near = jnp.full((n,), 1e-4)
     if t_far is None:
         t_far = jnp.full((n,), jnp.inf)
-    if _use_pallas() and "soa_c" in scene.tris:
+    if (
+        _use_pallas()
+        and _kernel_choice() == "bvh"
+        and scene.bvh_n_nodes > 0
+    ):
+        from ..ops.pallas.bvh_traverse import bvh_closest_hit
+
+        tt, slot, tu, tv = bvh_closest_hit(
+            scene.tris["bvh_nodes"], scene.tris["bvh_tris"], o, d, t_near,
+            jnp.where(jnp.isfinite(t_far), t_far, 1e30),
+            scene.bvh_n_nodes, scene.bvh_n_leaves, n_live=n_live,
+        )
+        ti = jnp.where(
+            slot >= 0, scene.tris["bvh_map"][jnp.maximum(slot, 0)], -1
+        )
+        tt = jnp.where(ti >= 0, tt, jnp.inf)
+    elif _use_pallas() and "soa_c" in scene.tris:
         from ..ops.pallas.intersect import (
             CLUSTER_SIZE,
             pallas_closest_hit,
@@ -242,6 +266,20 @@ def occluded(scene, o, d, t_max, n_live=None) -> jnp.ndarray:
     n = o.shape[0]
     t_near = jnp.full((n,), 1e-4)
     t_far = t_max * (1.0 - 1e-3)
+    if (
+        _use_pallas()
+        and _kernel_choice() == "bvh"
+        and scene.bvh_n_nodes > 0
+    ):
+        from ..ops.pallas.bvh_traverse import bvh_any_hit
+
+        hit_tri = bvh_any_hit(
+            scene.tris["bvh_nodes"], scene.tris["bvh_tris"], o, d, t_near,
+            jnp.where(jnp.isfinite(t_far), t_far, 1e30),
+            scene.bvh_n_nodes, scene.bvh_n_leaves, n_live=n_live,
+        )
+        _, si = _intersect_spheres(o, d, scene.spheres, t_near, t_far)
+        return hit_tri | (si >= 0)
     if _use_pallas() and "soa_c" in scene.tris:
         from ..ops.pallas.intersect import (
             CLUSTER_SIZE,

@@ -1,0 +1,303 @@
+"""Pallas TPU BVH traversal kernels — the production intersector.
+
+Replaces the brute/clustered kernels' O(total-tris)-per-ray cost with
+per-tile BVH selectivity (the reference rides OptiX hardware traversal,
+path_guiding_integrator.py:185 / path_tracing_integrator_py.py:102).
+
+Design (measured on veach-ajar wavefronts before building): even the
+union of a full 8x1024-ray grid step visits only ~60 (primary) / ~140
+(bounce) of ~2800 BVH nodes, so a *tile-shared* traversal — one scalar
+skip-pointer walk per grid step, slab-testing the whole ray tile against
+each visited node — captures nearly all of the selectivity without any
+per-lane divergence machinery, and best_t pruning adds ~nothing at tile
+granularity. Two uniform phases per grid step:
+
+  1. walk the DFS-ordered skip-pointer tree; each step is one dynamic
+     node-row read + one (8,1024) slab test + a scalar any(); hit leaves
+     push their triangle-block base onto an SMEM list;
+  2. Moller-Trumbore the collected leaf blocks (4 triangles each,
+     padded with degenerate zero triangles) against the whole tile.
+
+Node table row (f32 x16): [lo.xyz, hi.xyz, skip, tri_base, ...pad]
+(skip/tri_base stored as exact small-int floats; tri_base < 0 marks an
+internal node). Triangle table: (n_leaves*4, 16) rows [v0|e1|e2|pad] in
+leaf order; kernel returns *slot* ids mapped back outside.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .intersect import LANE_BLOCK, RAY_ROWS, _common_planes, _mt_one, _plan, _safe_inv
+
+LEAF_K = 4  # triangles per leaf block (builder enforces <= LEAF_K)
+
+
+# ===========================================================================
+# Host-side table construction
+# ===========================================================================
+
+
+def build_bvh_tables(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray):
+    """Build the skip-pointer BVH tables.
+
+    Returns (nodes (Npad,16) f32, tris (L*LEAF_K lanes-padded,16) f32,
+    slot_map (L*LEAF_K,) i32 slot->original-tri (-1 for padding),
+    n_nodes, max_leaves)."""
+    from ...accel.bvh import build_bvh
+
+    bvh = build_bvh(v0, v1, v2, leaf_size=LEAF_K, strict_leaf=True)
+    right = bvh["right"]
+    n = len(right)
+    skip = np.full(n, n, np.int32)
+    stack = [(0, n)]
+    while stack:
+        i, sk = stack.pop()
+        skip[i] = sk
+        if right[i] >= 0:
+            stack.append((i + 1, right[i]))
+            stack.append((right[i], sk))
+
+    is_leaf = right < 0
+    leaf_ids = np.nonzero(is_leaf)[0]
+    n_leaves = len(leaf_ids)
+
+    # leaf-padded triangle table in leaf order
+    tpad = max(n_leaves * LEAF_K, 8)
+    tpad = -(-tpad // 8) * 8
+    tris = np.zeros((tpad, 16), np.float32)
+    slot_map = np.full(tpad, -1, np.int32)
+    base_of = np.full(n, -1.0, np.float32)
+    order = bvh["order"]
+    for li, node in enumerate(leaf_ids):
+        base = li * LEAF_K
+        base_of[node] = base
+        s, c = bvh["start"][node], bvh["count"][node]
+        for k in range(c):
+            orig = order[s + k]
+            tris[base + k, 0:3] = v0[orig]
+            tris[base + k, 3:6] = v1[orig] - v0[orig]
+            tris[base + k, 6:9] = v2[orig] - v0[orig]
+            slot_map[base + k] = orig
+
+    npad = -(-n // 8) * 8
+    nodes = np.zeros((npad, 16), np.float32)
+    nodes[:n, 0:3] = bvh["node_lo"]
+    nodes[:n, 3:6] = bvh["node_hi"]
+    nodes[:n, 6] = skip.astype(np.float32)
+    nodes[:n, 7] = base_of
+    # padding rows: park at END (skip = n, no AABB hit possible)
+    nodes[n:, 0:3] = np.inf
+    nodes[n:, 3:6] = -np.inf
+    nodes[n:, 6] = n
+    nodes[n:, 7] = -1.0
+    return nodes, tris, slot_map, int(n), int(n_leaves)
+
+
+# ===========================================================================
+# Kernels
+# ===========================================================================
+
+
+def _slab_tile(row, o_x, o_y, o_z, ix, iy, iz, t_near, t_far):
+    t0 = (row[0] - o_x) * ix
+    t1 = (row[3] - o_x) * ix
+    tmin = jnp.minimum(t0, t1)
+    tmax = jnp.maximum(t0, t1)
+    t0 = (row[1] - o_y) * iy
+    t1 = (row[4] - o_y) * iy
+    tmin = jnp.maximum(tmin, jnp.minimum(t0, t1))
+    tmax = jnp.minimum(tmax, jnp.maximum(t0, t1))
+    t0 = (row[2] - o_z) * iz
+    t1 = (row[5] - o_z) * iz
+    tmin = jnp.maximum(tmin, jnp.minimum(t0, t1))
+    tmax = jnp.minimum(tmax, jnp.maximum(t0, t1))
+    return (tmax >= tmin) & (tmax > t_near) & (tmin < t_far)
+
+
+def _collect_leaves(node_ref, leaf_buf, o_x, o_y, o_z, ix, iy, iz,
+                    t_near, t_far, n_nodes):
+    """Phase 1: tile-shared skip-pointer walk; returns leaf count."""
+
+    def cond(carry):
+        idx, cnt = carry
+        return idx < n_nodes
+
+    def body(carry):
+        idx, cnt = carry
+        row = node_ref[idx]
+        may = _slab_tile(row, o_x, o_y, o_z, ix, iy, iz, t_near, t_far)
+        anyhit = jnp.any(may)
+        skip = row[6].astype(jnp.int32)
+        base = row[7].astype(jnp.int32)
+        is_leaf = base >= 0
+        take = anyhit & is_leaf
+        leaf_buf[cnt] = base  # harmless overwrite unless counted
+        cnt2 = jnp.where(take, cnt + 1, cnt)
+        idx2 = jnp.where(anyhit & ~is_leaf, idx + 1, skip)
+        return idx2, cnt2
+
+    _, cnt = jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(0)))
+    return cnt
+
+
+def _bvh_closest_kernel(n_live_ref, node_ref, tri_ref, ox, oy, oz,
+                        dx, dy, dz, tn, tf, t_out, i_out, u_out, v_out,
+                        leaf_buf, *, n_nodes):
+    step_base = pl.program_id(0) * RAY_ROWS * LANE_BLOCK
+    t_out[:] = tf[:]
+    i_out[:] = jnp.full(ox.shape, -1, jnp.int32)
+    u_out[:] = jnp.zeros(ox.shape, jnp.float32)
+    v_out[:] = jnp.zeros(ox.shape, jnp.float32)
+
+    @pl.when(step_base < n_live_ref[0])
+    def _run():
+        o_x, o_y, o_z = ox[:], oy[:], oz[:]
+        d_x, d_y, d_z = dx[:], dy[:], dz[:]
+        ix, iy, iz = _safe_inv(d_x), _safe_inv(d_y), _safe_inv(d_z)
+        t_near = tn[:]
+        t_far = tf[:]
+        cnt = _collect_leaves(node_ref, leaf_buf, o_x, o_y, o_z, ix, iy, iz,
+                              t_near, t_far, n_nodes)
+
+        def tri_body(j, carry):
+            best_t, best_i, best_u, best_v = carry
+            base = leaf_buf[j]
+            blk = tri_ref[pl.ds(base, LEAF_K), :]
+            for k in range(LEAF_K):
+                tt, u, v, ok = _mt_one(
+                    blk[k, 0], blk[k, 1], blk[k, 2],
+                    blk[k, 3], blk[k, 4], blk[k, 5],
+                    blk[k, 6], blk[k, 7], blk[k, 8],
+                    o_x, o_y, o_z, d_x, d_y, d_z,
+                )
+                ok = ok & (tt > t_near) & (tt < best_t)
+                best_t = jnp.where(ok, tt, best_t)
+                best_i = jnp.where(ok, base + k, best_i)
+                best_u = jnp.where(ok, u, best_u)
+                best_v = jnp.where(ok, v, best_v)
+            return best_t, best_i, best_u, best_v
+
+        init = (
+            t_far,
+            jnp.full(ox.shape, -1, jnp.int32),
+            jnp.zeros(ox.shape, jnp.float32),
+            jnp.zeros(ox.shape, jnp.float32),
+        )
+        best_t, best_i, best_u, best_v = jax.lax.fori_loop(
+            0, cnt, tri_body, init
+        )
+        t_out[:] = best_t
+        i_out[:] = best_i
+        u_out[:] = best_u
+        v_out[:] = best_v
+
+
+def _bvh_any_kernel(n_live_ref, node_ref, tri_ref, ox, oy, oz,
+                    dx, dy, dz, tn, tf, hit_out, leaf_buf, *, n_nodes):
+    step_base = pl.program_id(0) * RAY_ROWS * LANE_BLOCK
+    hit_out[:] = jnp.zeros(ox.shape, jnp.bool_)
+
+    @pl.when(step_base < n_live_ref[0])
+    def _run():
+        o_x, o_y, o_z = ox[:], oy[:], oz[:]
+        d_x, d_y, d_z = dx[:], dy[:], dz[:]
+        ix, iy, iz = _safe_inv(d_x), _safe_inv(d_y), _safe_inv(d_z)
+        t_near = tn[:]
+        t_far = tf[:]
+        cnt = _collect_leaves(node_ref, leaf_buf, o_x, o_y, o_z, ix, iy, iz,
+                              t_near, t_far, n_nodes)
+
+        def tri_body(j, hit):
+            base = leaf_buf[j]
+            blk = tri_ref[pl.ds(base, LEAF_K), :]
+            for k in range(LEAF_K):
+                tt, u, v, ok = _mt_one(
+                    blk[k, 0], blk[k, 1], blk[k, 2],
+                    blk[k, 3], blk[k, 4], blk[k, 5],
+                    blk[k, 6], blk[k, 7], blk[k, 8],
+                    o_x, o_y, o_z, d_x, d_y, d_z,
+                )
+                ok = ok & (tt > t_near) & (tt < t_far)
+                hit = jnp.maximum(hit, ok.astype(jnp.float32))
+            return hit
+
+        # float carry — Mosaic mis-lowers i1 vector loop carries
+        hit = jax.lax.fori_loop(
+            0, cnt, tri_body, jnp.zeros(o_x.shape, jnp.float32)
+        )
+        hit_out[:] = hit > 0.0
+
+
+# ===========================================================================
+# Callers
+# ===========================================================================
+
+
+@partial(jax.jit, static_argnames=("n_nodes", "max_leaves", "interpret"))
+def bvh_closest_hit(nodes, tris, o, d, t_near, t_far, n_nodes: int,
+                    max_leaves: int, n_live=None, interpret: bool = False):
+    """Returns (t, slot, u, v); slot indexes the leaf-padded tri table
+    (-1 on miss) — map back with the slot_map from build_bvh_tables."""
+    n = o.shape[0]
+    rows_pad, n_pad = _plan(n)
+    if n_live is None:
+        n_live = jnp.int32(n)
+    planes = _common_planes(o, d, t_near, t_far, n_pad)
+    ray_spec = pl.BlockSpec(
+        (RAY_ROWS, LANE_BLOCK), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        partial(_bvh_closest_kernel, n_nodes=n_nodes),
+        grid=(rows_pad // RAY_ROWS,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ]
+        + [ray_spec] * 8,
+        out_specs=[ray_spec] * 4,
+        out_shape=[
+            jax.ShapeDtypeStruct((rows_pad, LANE_BLOCK), jnp.float32),
+            jax.ShapeDtypeStruct((rows_pad, LANE_BLOCK), jnp.int32),
+            jax.ShapeDtypeStruct((rows_pad, LANE_BLOCK), jnp.float32),
+            jax.ShapeDtypeStruct((rows_pad, LANE_BLOCK), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.SMEM((max(max_leaves, 1),), jnp.int32)],
+        interpret=interpret,
+    )(jnp.asarray(n_live, jnp.int32).reshape(1), nodes, tris, *planes)
+    t, i, u, v = (x.reshape(-1)[:n] for x in out)
+    return t, i, u, v
+
+
+@partial(jax.jit, static_argnames=("n_nodes", "max_leaves", "interpret"))
+def bvh_any_hit(nodes, tris, o, d, t_near, t_far, n_nodes: int,
+                max_leaves: int, n_live=None, interpret: bool = False):
+    n = o.shape[0]
+    rows_pad, n_pad = _plan(n)
+    if n_live is None:
+        n_live = jnp.int32(n)
+    planes = _common_planes(o, d, t_near, t_far, n_pad)
+    ray_spec = pl.BlockSpec(
+        (RAY_ROWS, LANE_BLOCK), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        partial(_bvh_any_kernel, n_nodes=n_nodes),
+        grid=(rows_pad // RAY_ROWS,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ]
+        + [ray_spec] * 8,
+        out_specs=ray_spec,
+        out_shape=jax.ShapeDtypeStruct((rows_pad, LANE_BLOCK), jnp.bool_),
+        scratch_shapes=[pltpu.SMEM((max(max_leaves, 1),), jnp.int32)],
+        interpret=interpret,
+    )(jnp.asarray(n_live, jnp.int32).reshape(1), nodes, tris, *planes)
+    return out.reshape(-1)[:n]

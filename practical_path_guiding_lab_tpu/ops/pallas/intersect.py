@@ -170,8 +170,9 @@ def _common_planes(o, d, t_near, t_far, n_pad):
     ]
 
 
-@partial(jax.jit, static_argnames=("n_tris",))
-def pallas_closest_hit(tri_soa, o, d, t_near, t_far, n_tris: int, n_live=None):
+@partial(jax.jit, static_argnames=("n_tris", "interpret"))
+def pallas_closest_hit(tri_soa, o, d, t_near, t_far, n_tris: int, n_live=None,
+                      interpret: bool = False):
     """tri_soa: (Tpad, 16) [v0 e1 e2 pad]; o, d: (N, 3). Returns
     (t, prim, u, v) with prim = -1 on miss. ``n_live`` (traced scalar):
     lanes >= n_live are skipped wholesale (compacted wavefronts)."""
@@ -198,13 +199,15 @@ def pallas_closest_hit(tri_soa, o, d, t_near, t_far, n_tris: int, n_live=None):
             jax.ShapeDtypeStruct((rows_pad, LANE_BLOCK), jnp.float32),
             jax.ShapeDtypeStruct((rows_pad, LANE_BLOCK), jnp.float32),
         ],
+        interpret=interpret,
     )(jnp.asarray(n_live, jnp.int32).reshape(1), tri_soa, *planes)
     t, i, u, v = (x.reshape(-1)[:n] for x in out)
     return t, i, u, v
 
 
-@partial(jax.jit, static_argnames=("n_tris",))
-def pallas_any_hit(tri_soa, o, d, t_near, t_far, n_tris: int, n_live=None):
+@partial(jax.jit, static_argnames=("n_tris", "interpret"))
+def pallas_any_hit(tri_soa, o, d, t_near, t_far, n_tris: int, n_live=None,
+                   interpret: bool = False):
     n = o.shape[0]
     rows_pad, n_pad = _plan(n)
     if n_live is None:
@@ -223,6 +226,7 @@ def pallas_any_hit(tri_soa, o, d, t_near, t_far, n_tris: int, n_live=None):
         + [ray_spec] * 8,
         out_specs=ray_spec,
         out_shape=jax.ShapeDtypeStruct((rows_pad, LANE_BLOCK), jnp.bool_),
+        interpret=interpret,
     )(jnp.asarray(n_live, jnp.int32).reshape(1), tri_soa, *planes)
     return out.reshape(-1)[:n]
 
@@ -372,10 +376,10 @@ def _any_hit_clustered_kernel(
         hit_out[:] = hit > 0.0
 
 
-@partial(jax.jit, static_argnames=("n_clusters",))
+@partial(jax.jit, static_argnames=("n_clusters", "interpret"))
 def pallas_closest_hit_clustered(
     tri_soa_c, cluster_bounds, o, d, t_near, t_far, n_clusters: int,
-    n_live=None,
+    n_live=None, interpret: bool = False,
 ):
     """Clustered closest-hit: tri_soa_c (C*64, 16) reordered by
     accel.cluster; returns slot indices into the clustered layout."""
@@ -403,16 +407,17 @@ def pallas_closest_hit_clustered(
             jax.ShapeDtypeStruct((rows_pad, LANE_BLOCK), jnp.float32),
             jax.ShapeDtypeStruct((rows_pad, LANE_BLOCK), jnp.float32),
         ],
+        interpret=interpret,
     )(jnp.asarray(n_live, jnp.int32).reshape(1), cluster_bounds, tri_soa_c,
       *planes)
     t, i, u, v = (x.reshape(-1)[:n] for x in out)
     return t, i, u, v
 
 
-@partial(jax.jit, static_argnames=("n_clusters",))
+@partial(jax.jit, static_argnames=("n_clusters", "interpret"))
 def pallas_any_hit_clustered(
     tri_soa_c, cluster_bounds, o, d, t_near, t_far, n_clusters: int,
-    n_live=None,
+    n_live=None, interpret: bool = False,
 ):
     n = o.shape[0]
     rows_pad, n_pad = _plan(n)
@@ -433,6 +438,7 @@ def pallas_any_hit_clustered(
         + [ray_spec] * 8,
         out_specs=ray_spec,
         out_shape=jax.ShapeDtypeStruct((rows_pad, LANE_BLOCK), jnp.bool_),
+        interpret=interpret,
     )(jnp.asarray(n_live, jnp.int32).reshape(1), cluster_bounds, tri_soa_c,
       *planes)
     return out.reshape(-1)[:n]

@@ -70,6 +70,10 @@ class Scene:
     # static set of BSDF families present — the vectorized dispatcher only
     # emits code for these (smaller programs, faster compiles & VPU time)
     used_kinds: tuple = struct.field(pytree_node=False, default=())
+    # BVH table sizes (static; the Pallas skip-traversal kernel needs them
+    # at trace time). 0 = tables absent.
+    bvh_n_nodes: int = struct.field(pytree_node=False, default=0)
+    bvh_n_leaves: int = struct.field(pytree_node=False, default=0)
 
 
 def _build_materials(desc: SceneDesc):
@@ -180,6 +184,15 @@ def compile_scene(desc: SceneDesc) -> Scene:
     tris["soa_c"] = soa_c
     tris["cluster_bounds"] = cbounds
     tris["soa_map"] = cmap
+    # skip-pointer BVH tables for the production Pallas traversal kernel
+    from ..ops.pallas.bvh_traverse import build_bvh_tables
+
+    bvh_nodes, bvh_tris, bvh_map, bvh_n_nodes, bvh_n_leaves = build_bvh_tables(
+        tris_np["v0"], tris_np["v1"], tris_np["v2"]
+    )
+    tris["bvh_nodes"] = bvh_nodes
+    tris["bvh_tris"] = bvh_tris
+    tris["bvh_map"] = bvh_map
 
     # scene bbox over real geometry
     pts = [tris_np["v0"], tris_np["v1"], tris_np["v2"]]
@@ -209,6 +222,8 @@ def compile_scene(desc: SceneDesc) -> Scene:
         name=desc.path.name,
         rfilter=desc.sensor.rfilter,
         used_kinds=tuple(sorted(set(int(k) for k in np.asarray(materials.kind)))),
+        bvh_n_nodes=bvh_n_nodes,
+        bvh_n_leaves=bvh_n_leaves,
     )
 
 
