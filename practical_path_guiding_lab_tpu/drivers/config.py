@@ -39,6 +39,9 @@ class TrainConfig:
     out_root: str = "debug"
     kd_capacity: int = 1 << 15
     quad_capacity: int = 1 << 20
+    # multi-chip data parallelism: shard the wavefront over this many
+    # devices (0 = single-device). SURVEY.md section 2.3.
+    mesh_devices: int = 0
 
 
 @dataclass

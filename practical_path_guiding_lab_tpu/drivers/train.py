@@ -67,6 +67,20 @@ def train(cfg: TrainConfig):
         kd_capacity=cfg.kd_capacity,
         quad_capacity=cfg.quad_capacity,
     )
+    if cfg.mesh_devices:
+        import jax as _jax
+
+        from ..parallel.sharding import make_mesh
+
+        n_dev = len(_jax.devices())
+        if n_dev < cfg.mesh_devices:
+            raise SystemExit(
+                f"--mesh {cfg.mesh_devices} needs {cfg.mesh_devices} devices "
+                f"but only {n_dev} visible (hint: JAX_PLATFORMS=cpu "
+                f"XLA_FLAGS=--xla_force_host_platform_device_count="
+                f"{cfg.mesh_devices})"
+            )
+        integrator.set_mesh(make_mesh(cfg.mesh_devices))
 
     # possible cumulative spp checkpoints (main.py:105-117)
     possible_cumm = []
@@ -324,6 +338,11 @@ if __name__ == "__main__":
     ap.add_argument("--resx", type=int, default=None)
     ap.add_argument("--resy", type=int, default=None)
     ap.add_argument("--out", default="debug", help="output root directory")
+    ap.add_argument(
+        "--mesh", type=int, default=0,
+        help="shard the wavefront over N devices (multi-chip DP; film "
+        "height must divide by N)",
+    )
     args = ap.parse_args()
     overrides = {}
     if args.resx:
@@ -332,7 +351,8 @@ if __name__ == "__main__":
         overrides["resy"] = args.resy
     out = train(
         TrainConfig(scene=args.scene, budget_spp=args.budget,
-                    scene_overrides=overrides, out_root=args.out or "debug")
+                    scene_overrides=overrides, out_root=args.out or "debug",
+                    mesh_devices=args.mesh)
     )
     print_bold_underline(
         f"done: {out['cumm_spp']} spp, {out['time']:.1f}s, "

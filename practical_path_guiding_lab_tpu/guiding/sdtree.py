@@ -246,6 +246,70 @@ def quad_sample_descent(tree: SDTreeDevice, root, u1, u2):
     return xy, pdf
 
 
+# quadrant -> (ox, oy) of the child's lower corner in units of child size
+# (must match _quadrant: 0=(x>=m,y>=m) 1=(x<m,y>=m) 2=(x<m,y<m) 3=(x>=m,y<m))
+_QUAD_OFF = np.array([[1, 1], [0, 1], [0, 0], [1, 0]], np.float32)
+
+
+def _depth2_cell_dirs():
+    """World directions of the 16 depth-2 canonical cell centers, indexed
+    [child_quadrant, grandchild_quadrant]. Pure numpy (called at trace
+    time) with the canonical map convention of core.sphere_map."""
+    xy = np.zeros((4, 4, 2), np.float32)
+    for c in range(4):
+        for g in range(4):
+            xy[c, g] = _QUAD_OFF[c] * 0.5 + _QUAD_OFF[g] * 0.25 + 0.125
+    xy = xy.reshape(16, 2)
+    cos_t = 2.0 * xy[:, 1] - 1.0
+    phi = 2.0 * np.pi * xy[:, 0]
+    sin_t = np.sqrt(np.maximum(1.0 - cos_t * cos_t, 0.0))
+    return np.stack(
+        [sin_t * np.cos(phi), sin_t * np.sin(phi), cos_t], axis=-1
+    ).astype(np.float32)
+
+
+_CELL_DIRS = None
+
+
+def _cell_dirs():
+    global _CELL_DIRS
+    if _CELL_DIRS is None:
+        _CELL_DIRS = _depth2_cell_dirs()  # (16,3) numpy — safe under traces
+    return _CELL_DIRS
+
+
+def hemisphere_mass(tree: SDTreeDevice, root, n):
+    """Approximate fraction of the tree's directional mass above the
+    horizon of normal ``n`` (N,3): expand the root two levels (16 canonical
+    cells of ~0.8 sr), classify each cell by its center direction.
+
+    Drives the adaptive per-lane bsdfSamplingFraction: spatial cells that
+    straddle differently-oriented surfaces (e.g. the veach-ajar partition
+    wall) hold most of their flux below a given surface's horizon —
+    measured 16-86% wasted tree samples on ajar first hits — and sampling
+    them at the fixed 0.5 fraction costs more variance than it saves."""
+    kids = tree.q_child[root]                      # (N,4)
+    kids_valid = kids >= 0
+    kidsc = jnp.maximum(kids, 0)
+    gk = tree.q_child[kidsc]                       # (N,4,4)
+    gk_valid = (gk >= 0) & kids_valid[..., None]
+    gk_irr = jnp.where(gk_valid, tree.q_irr[jnp.maximum(gk, 0)], 0.0)
+    # leaf child: uniform over its box -> 4 equal virtual quarters
+    kid_irr = jnp.where(kids_valid, tree.q_irr[kidsc], 0.0)
+    child_is_leaf = ~gk_valid.any(axis=-1)         # (N,4)
+    gk_mass = jnp.where(
+        child_is_leaf[..., None], (kid_irr / 4.0)[..., None], gk_irr
+    )
+    above = (jnp.einsum("kd,nd->nk", _cell_dirs(),
+                        n).reshape(n.shape[0], 4, 4) > 0.0)
+    total = jnp.sum(gk_mass, axis=(1, 2))
+    up = jnp.sum(jnp.where(above, gk_mass, 0.0), axis=(1, 2))
+    h = jnp.where(total > 0, up / jnp.maximum(total, 1e-30), 0.5)
+    # root itself a leaf (untrained cell): uniform sphere -> h = 0.5
+    root_leaf = tree.q_child[root, 0] < 0
+    return jnp.where(root_leaf, 0.5, h)
+
+
 def splat(tree: SDTreeDevice, p, xy, value, weight, nee_xy=None, nee_value=None,
           mask=None):
     """Accumulate training records into the leaf accumulators.

@@ -29,6 +29,16 @@ from ..scene import emitters as em_mod
 from ..scene.camera import generate_rays
 
 
+def adaptive_fraction_enabled() -> bool:
+    """Per-lane adaptive bsdfSamplingFraction (default on): the tree's
+    mixture share is scaled by its usable-hemisphere mass. Set
+    PPG_ADAPTIVE_FRACTION=0 for the reference's constant 0.5
+    (path_guiding_integrator.py:223)."""
+    import os
+
+    return os.environ.get("PPG_ADAPTIVE_FRACTION", "1") == "1"
+
+
 def _init_state(scene, px, py, lane_ids, record: bool):
     n_rays = px.shape[0]
     sx = px / scene.camera.width
@@ -123,7 +133,7 @@ def _bounce_body(scene, tree_prev, seed0, pass_index, iteration,
     # (0 and 1, and pure-PT comparisons) skip the gather-heavy tree work
     # entirely; guided iterations run it once per bounce.
     def _tree_work(args):
-        p, wo_nee, bs_wo, g1, g2 = args
+        p, ns, wo_nee, bs_wo, g1, g2 = args
         _, q_root = sd.kd_lookup(tree_prev, p)
         # both pdf queries share one batched descent (half the loop
         # overhead; identical gather count)
@@ -134,23 +144,45 @@ def _bounce_body(scene, tree_prev, seed0, pass_index, iteration,
         nn = p.shape[0]
         t_pdf_nee, t_pdf_b = pdf2[:nn], pdf2[nn:]
         t_xy, t_pdf_s = sd.quad_sample(tree_prev, q_root, g1, g2)
-        return t_pdf_nee, t_xy, t_pdf_s, t_pdf_b
+        h = sd.hemisphere_mass(tree_prev, q_root, ns)
+        return t_pdf_nee, t_xy, t_pdf_s, t_pdf_b, h
 
     def _no_tree(args):
-        p, wo_nee, bs_wo, g1, g2 = args
+        p, ns, wo_nee, bs_wo, g1, g2 = args
         z = jnp.zeros(p.shape[:-1], jnp.float32)
-        return z, jnp.zeros(p.shape[:-1] + (2,), jnp.float32), z, z
+        return z, jnp.zeros(p.shape[:-1] + (2,), jnp.float32), z, z, z + 1.0
 
-    tree_pdf_nee, tree_xy, tree_pdf_t, tree_pdf_b = jax.lax.cond(
+    tree_pdf_nee, tree_xy, tree_pdf_t, tree_pdf_b, hemi = jax.lax.cond(
         use_guiding,
         _tree_work,
         _no_tree,
-        (si.p, nee["wo"], bs["wo"], g1, g2),
+        (si.p, si.ns, nee["wo"], bs["wo"], g1, g2),
     )
+    # Per-lane bsdfSamplingFraction. Reference mode: the constant
+    # (path_guiding_integrator.py:223). Adaptive mode (default): scale the
+    # tree's share by its usable hemisphere mass h — f = 1 - (1-f0)*h —
+    # so cells whose flux lies below this surface's horizon degrade to
+    # BSDF sampling instead of wasting up to ~86% of their tree picks
+    # (unbiased: every pdf below uses the same per-lane fraction).
+    if adaptive_fraction_enabled():
+        import os
+
+        policy = os.environ.get("PPG_FRAC_POLICY", "h")
+        if policy == "trust":  # only trees with >50% usable mass
+            share = jnp.maximum(2.0 * hemi - 1.0, 0.0)
+        elif policy == "hsq":
+            share = hemi * hemi
+        else:  # "h": tree share proportional to usable mass
+            share = hemi
+        frac = 1.0 - (1.0 - bsdf_fraction) * share
+        max_guided_depth = int(os.environ.get("PPG_GUIDE_MAX_DEPTH", "99"))
+        frac = jnp.where(depth < max_guided_depth, frac, 1.0)
+    else:
+        frac = jnp.full(hemi.shape, bsdf_fraction)
     surface_pdf = jnp.where(
         use_guiding,
-        bsdf_fraction * pdf_bsdf_nee
-        + (1.0 - bsdf_fraction) * tree_pdf_nee * smooth_frac,
+        frac * pdf_bsdf_nee
+        + (1.0 - frac) * tree_pdf_nee * smooth_frac,
         pdf_bsdf_nee,
     )
 
@@ -171,7 +203,7 @@ def _bounce_body(scene, tree_prev, seed0, pass_index, iteration,
     L = L + Lr_dir
 
     do_mix = use_guiding & ~bs["delta"]  # :283,286
-    take_tree = do_mix & (u_guide >= bsdf_fraction)
+    take_tree = do_mix & (u_guide >= frac)
 
     wo_tree = canonical_to_dir(tree_xy)
     f_tree, bsdf_pdf_tree = bsdf_mod.eval_pdf(ctx, si.wi_world, wo_tree)
@@ -184,9 +216,7 @@ def _bounce_body(scene, tree_prev, seed0, pass_index, iteration,
     # f * cos of the chosen direction for mixture-weight lanes
     f_bsdf_dir = bs["weight"] * bs["pdf"][:, None]  # = f*cos for smooth lanes
     f_mix = jnp.where(take_tree[:, None], f_tree, f_bsdf_dir)
-    wo_pdf_mix = (
-        bsdf_fraction * bsdf_pdf + (1.0 - bsdf_fraction) * tree_pdf
-    )
+    wo_pdf_mix = frac * bsdf_pdf + (1.0 - frac) * tree_pdf
     weight_mix = f_mix / jnp.maximum(wo_pdf_mix, 1e-20)[:, None]
 
     wo_pdf = jnp.where(do_mix, wo_pdf_mix, bs["pdf"])
@@ -235,10 +265,10 @@ def _bounce_body(scene, tree_prev, seed0, pass_index, iteration,
     alive = hit & valid_dir & (jnp.max(tp_new, axis=-1) > 0)
     eta_scale = s["eta_scale"] * bs["eta"] ** 2
     u_rr = rng.uniform1(seed0, pass_index, depth, rng.PurposeId.RR, lane_ids)
-    q = jnp.minimum(jnp.max(tp_new, axis=-1) * eta_scale, 0.95)
     do_rr = depth >= scene.rr_depth
-    survive = jnp.where(do_rr, u_rr < q, jnp.ones(n_rays, bool))
-    tp_new = jnp.where(do_rr, tp_new / jnp.maximum(q, 1e-6)[:, None], tp_new)
+    from .path_tracer import apply_rr
+
+    tp_new, survive = apply_rr(tp_new, eta_scale, u_rr, do_rr, n_rays)
     alive = alive & survive
 
     s["o"] = jnp.where(alive[:, None], si.p + wo * 1e-4, s["o"])

@@ -76,11 +76,18 @@ class PathGuidingIntegrator:
         self.tree_prev: SDTree | None = None
         self.tree_current: SDTree | None = None
         self.dev_tree = None
+        self.mesh = None  # multi-chip DP mesh (set_mesh)
         self._stepped = _stepped_backend()
         self._jit_wave = jax.jit(
             partial(guided_wavefront_pass, bsdf_fraction=bsdf_sampling_fraction),
             static_argnames=("record",),
         )
+
+    def set_mesh(self, mesh):
+        """Enable multi-chip data parallelism: passes run through
+        parallel.sharding.guided_pass_sharded (dp-sharded wavefront, psum'd
+        SD-tree histograms and film moments)."""
+        self.mesh = mesh
 
     # ------------------------------------------------------------------ #
 
@@ -126,7 +133,17 @@ class PathGuidingIntegrator:
     def render_pass(self, seed0, cumm_spp):
         """One 1-spp pass; accumulates film moments; returns the box image
         of this pass ((H,W,3) numpy-convertible) and rays cast."""
-        if self._stepped:
+        if self.mesh is not None:
+            from ..parallel.sharding import guided_pass_sharded
+
+            L, px, py, rays, tree2, _moms = guided_pass_sharded(
+                self.scene, self.dev_tree, self.mesh, seed0, cumm_spp,
+                self.iteration, record=not self.is_final,
+                bsdf_fraction=self.bsdf_sampling_fraction,
+            )
+            if tree2 is not None:
+                self.dev_tree = tree2
+        elif self._stepped:
             L, px, py, rays, dev = render_guided_pass_stepped(
                 self.scene, self.dev_tree, self.dev_tree, seed0, cumm_spp,
                 self.iteration, is_final=self.is_final,

@@ -55,6 +55,45 @@ _PT_KEYS3 = ("o", "d", "throughput", "L")
 _PT_KEYS1 = ("eta_scale", "active", "prev_pdf", "prev_delta", "lane")
 
 
+def rr_mode() -> str:
+    """Russian-roulette semantics (PPG_RR env var):
+
+    * ``reference`` (default) — kill at q = min(tp*eta^2, 0.95) WITHOUT
+      reweighting survivors. This is what the reference actually computes:
+      its 1/q lands on a dead temporary (`throughput_weight_max[rr_active]
+      *= dr.rcp(rr_prob)`, path_guiding_integrator.py:372-378 and
+      path_tracing_integrator_py.py:180-186 — `throughput_weight_max` is a
+      copy made by dr.max, never read again), so deep low-throughput paths
+      are truncated rather than amplified. Slightly biased (dims transport
+      past rr_depth) but tail-free — and the semantics the reference's
+      guided-vs-PT comparisons were run with.
+    * ``unbiased`` — survivors reweighted by 1/q (textbook RR). Heavier
+      tails: a lane with tp=0.01 that survives is re-inflated to tp=1 and
+      re-enters the high-variance NEE lottery at full strength.
+    * ``clamped`` — unbiased with q clamped to [0.1, 0.95]: amplification
+      bounded at 10x per bounce.
+    """
+    import os
+
+    return os.environ.get("PPG_RR", "reference")
+
+
+def apply_rr(tp_new, eta_scale, u_rr, do_rr, n_rays):
+    """Shared RR step -> (tp_new, survive). Mode picked at trace time."""
+    mode = rr_mode()
+    q_raw = jnp.max(tp_new, axis=-1) * eta_scale
+    if mode == "clamped":
+        q = jnp.clip(q_raw, 0.1, 0.95)
+    else:
+        q = jnp.minimum(q_raw, 0.95)
+    survive = jnp.where(do_rr, u_rr < q, jnp.ones(n_rays, bool))
+    if mode != "reference":
+        tp_new = jnp.where(
+            do_rr, tp_new / jnp.maximum(q, 1e-6)[:, None], tp_new
+        )
+    return tp_new, survive
+
+
 def _init_state(scene, px, py, lane_ids):
     n_rays = px.shape[0]
     sx = px / scene.camera.width
@@ -147,10 +186,8 @@ def _bounce_body(scene, seed0, pass_index, s):
     #     eta^2 correction; path_guiding_integrator.py:367-381) ---
     eta_scale = s["eta_scale"] * bs["eta"] ** 2
     u_rr = rng.uniform1(seed0, pass_index, depth, rng.PurposeId.RR, lane_ids)
-    q = jnp.minimum(jnp.max(tp_new, axis=-1) * eta_scale, 0.95)
     do_rr = depth >= scene.rr_depth  # scalar (loop counter)
-    survive = jnp.where(do_rr, u_rr < q, jnp.ones(n_rays, bool))
-    tp_new = jnp.where(do_rr, tp_new / jnp.maximum(q, 1e-6)[:, None], tp_new)
+    tp_new, survive = apply_rr(tp_new, eta_scale, u_rr, do_rr, n_rays)
     alive = alive & survive
 
     s["o"] = jnp.where(alive[:, None], si.p + bs["wo"] * 1e-4, s["o"])

@@ -25,6 +25,90 @@ def test_sharded_render_matches_single(cornell_small):
     assert abs(float(rays) - float(rays1)) < 1
 
 
+def test_guided_train_step_sharded_matches_single(cornell_small):
+    """Full GUIDED training pass (trace + record + splat): the dp-sharded
+    step must reproduce the single-device step — radiance bit-identical
+    (lane-keyed RNG), psum'd tree histograms equal up to float reduction
+    order, film moments equal."""
+    from practical_path_guiding_lab_tpu.parallel.sharding import (
+        guided_pass_sharded,
+    )
+    from practical_path_guiding_lab_tpu.render.guided import (
+        render_guided_pass,
+    )
+    from practical_path_guiding_lab_tpu.render.integrator import (
+        PathGuidingIntegrator,
+    )
+
+    scene = cornell_small
+    integ = PathGuidingIntegrator(scene)
+    integ.setup(kd_capacity=1 << 10, quad_capacity=1 << 14)
+    # give the tree some structure so descents are non-trivial: run one
+    # training pass single-device and refine
+    L0, px0, py0, rays0, tree_cur = render_guided_pass(
+        scene, integ.dev_tree, integ.dev_tree, 3, 0, iteration=2,
+        is_final=False,
+    )
+    integ.dev_tree = tree_cur
+    integ.setIteration(2, False)
+    integ.refineAndPrepareSDTreeForNextIteration()
+    tree = integ.dev_tree
+
+    # single-device step
+    L1, px1, py1, rays1, tree1 = render_guided_pass(
+        scene, tree, tree, 7, 5, iteration=3, is_final=False
+    )
+    # sharded step from the SAME starting tree
+    mesh = make_mesh(8)
+    L8, px8, py8, rays8, tree8, (momL, momL2) = guided_pass_sharded(
+        scene, tree, mesh, 7, 5, iteration=3, record=True
+    )
+    assert np.allclose(np.asarray(L8), np.asarray(L1), atol=1e-5)
+    assert abs(float(rays8) - float(rays1)) < 1
+    # tree histograms: equal up to float32 reduction order
+    assert np.allclose(
+        np.asarray(tree8.kd_vert_acc), np.asarray(tree1.kd_vert_acc),
+        rtol=1e-5, atol=1e-4,
+    )
+    assert np.allclose(
+        np.asarray(tree8.q_irr_acc), np.asarray(tree1.q_irr_acc),
+        rtol=1e-4, atol=1e-3,
+    )
+    # psum'd film moments match the host-side sums
+    assert np.allclose(
+        np.asarray(momL), np.asarray(L1).sum(axis=0), rtol=1e-5, atol=1e-4
+    )
+    assert np.allclose(
+        np.asarray(momL2), (np.asarray(L1) ** 2).sum(axis=0),
+        rtol=1e-4, atol=1e-3,
+    )
+    # final-iteration (record off) path also runs sharded
+    Lf, _, _, _, tree_none, _ = guided_pass_sharded(
+        scene, tree, mesh, 7, 6, iteration=3, record=False
+    )
+    assert tree_none is None
+    assert np.isfinite(np.asarray(Lf)).all()
+
+
+def test_train_driver_mesh(tmp_path):
+    """drivers.train with mesh_devices=8 runs end-to-end on the virtual
+    CPU mesh (VERDICT round-1 item 5: train --mesh 8)."""
+    from practical_path_guiding_lab_tpu.drivers.config import TrainConfig
+    from practical_path_guiding_lab_tpu.drivers.train import train
+
+    out = train(
+        TrainConfig(
+            scene="cornell-box-empty",
+            budget_spp=12,
+            scene_overrides={"resx": 32, "resy": 32},
+            out_root=str(tmp_path),
+            mesh_devices=8,
+        )
+    )
+    assert out["cumm_spp"] == 12
+    assert np.isfinite(out["mse"])
+
+
 def test_graft_entry_dryrun():
     import importlib.util
 
