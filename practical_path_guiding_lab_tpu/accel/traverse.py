@@ -189,24 +189,24 @@ def intersect(scene, o, d, t_near=None, t_far=None, n_live=None) -> Intersection
     valid = jnp.isfinite(t) & ((ti >= 0) | (si >= 0))
     t = jnp.where(valid, t, jnp.inf)
 
-    # triangle attributes
+    # triangle attributes: ONE packed row gather (scene.py "attr" layout)
     tid = jnp.maximum(ti, 0)
     w = 1.0 - tu - tv
-    n0 = scene.tris["n0"][tid]
-    n1 = scene.tris["n1"][tid]
-    n2 = scene.tris["n2"][tid]
+    row = scene.tris["attr"][tid]  # (N, 32)
+    n0 = row[:, 0:3]
+    n1 = row[:, 3:6]
+    n2 = row[:, 6:9]
     ns_tri = normalize(
         n0 * w[:, None] + n1 * tu[:, None] + n2 * tv[:, None]
     )
-    uv0 = scene.tris["uv0"][tid]
-    uv1 = scene.tris["uv1"][tid]
-    uv2 = scene.tris["uv2"][tid]
-    uv_tri = uv0 * w[:, None] + uv1 * tu[:, None] + uv2 * tv[:, None]
-    e1 = scene.tris["e1"][tid]
-    e2 = scene.tris["e2"][tid]
-    ng_tri = normalize(jnp.cross(e1, e2))
-    mat_tri = scene.tris["mat"][tid]
-    em_tri = scene.tris["emitter"][tid]
+    uv_tri = (
+        row[:, 12:14] * w[:, None]
+        + row[:, 14:16] * tu[:, None]
+        + row[:, 16:18] * tv[:, None]
+    )
+    ng_tri = normalize(row[:, 9:12])
+    mat_tri = row[:, 18].astype(jnp.int32)
+    em_tri = row[:, 19].astype(jnp.int32)
 
     # sphere attributes
     sid = jnp.maximum(si, 0)

@@ -73,30 +73,38 @@ class BSDFContext:
 
 
 def make_context(scene, si) -> BSDFContext:
+    """One packed material-row gather + one evaluation per texture
+    (gather diet: XLA TPU gathers cost ~7 ms each at 1M lanes)."""
+    from ..scene.textures import eval_all_textures, select_texture
+
     m = scene.materials
     mid = si.material
-    refl = eval_texture(scene.textures, m.refl_tex[mid], si.uv)
-    spec = eval_texture(scene.textures, m.spec_tex[mid], si.uv)
-    diff = eval_texture(scene.textures, m.diff_tex[mid], si.uv)
+    row = m.packed[mid]  # (N, 16)
+    kind = row[:, 0].astype(jnp.int32)
+    tex_vals = eval_all_textures(scene.textures, si.uv)
+    refl = select_texture(tex_vals, row[:, 1].astype(jnp.int32))
+    spec = select_texture(tex_vals, row[:, 2].astype(jnp.int32))
+    diff = select_texture(tex_vals, row[:, 3].astype(jnp.int32))
+    eta_ratio = row[:, 12]
     return BSDFContext(
-        kind=m.kind[mid],
+        kind=kind,
         refl=refl,
         spec=spec,
         diff=diff,
-        alpha=m.alpha[mid],
-        ggx=m.dist_ggx[mid],
-        eta3=m.eta3[mid],
-        k3=m.k3[mid],
+        alpha=row[:, 4],
+        ggx=row[:, 5] > 0,
+        eta3=row[:, 6:9],
+        k3=row[:, 9:12],
         # only transmissive families see a side-dependent relative IOR;
         # twosided opaque materials (plastic) always use int/ext.
         eta=jnp.where(
             si.entering
             | ~(
-                (m.kind[mid] == BSDF_DIELECTRIC)
-                | (m.kind[mid] == BSDF_ROUGH_DIELECTRIC)
+                (kind == BSDF_DIELECTRIC)
+                | (kind == BSDF_ROUGH_DIELECTRIC)
             ),
-            m.eta_ratio[mid],
-            1.0 / m.eta_ratio[mid],
+            eta_ratio,
+            1.0 / eta_ratio,
         ),
         ns=si.ns,
         used=getattr(scene, "used_kinds", ()),

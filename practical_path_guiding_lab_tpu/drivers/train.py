@@ -275,6 +275,11 @@ def train(cfg: TrainConfig):
 
         if train_tree:
             integrator.refineAndPrepareSDTreeForNextIteration()
+            tree = integrator.tree_prev
+            print(
+                f"  refine: {getattr(tree, 'last_refine_seconds', 0.0):.2f}s"
+                f" -> {tree.kd_count} kd nodes, {tree.q_count} quad nodes"
+            )
         elif prev_iter_image is None:
             print_bold_underline("-- Stop training SDTree --")
 

@@ -344,3 +344,45 @@ extern "C" int build_lookup(
   *n_roots_out = slot;
   return 0;
 }
+
+// ---------------------------------------------------------------------
+// Walker alias tables over each root's leaf list (built from the leaf
+// CDFs produced by build_lookup). Sampling a leaf then costs two packed
+// row gathers on device instead of a ~11-step binary search.
+// ---------------------------------------------------------------------
+
+extern "C" int build_alias(
+    const float* leaf_cdf, int64_t n_roots,
+    const int32_t* root_leaf_off, const int32_t* root_leaf_cnt,
+    float* alias_prob,   // (q_cap,) out
+    int32_t* alias_other // (q_cap,) out
+) {
+  std::vector<int32_t> small_s, large_s;
+  std::vector<double> scaled;
+  for (int64_t s = 0; s < n_roots; ++s) {
+    int32_t off = root_leaf_off[s], cnt = root_leaf_cnt[s];
+    if (cnt <= 0) continue;
+    scaled.resize(cnt);
+    small_s.clear();
+    large_s.clear();
+    double prev = 0.0;
+    for (int32_t i = 0; i < cnt; ++i) {
+      double p = (double)leaf_cdf[off + i] - prev;
+      prev = leaf_cdf[off + i];
+      scaled[i] = p * cnt;
+      alias_prob[off + i] = 1.0f;
+      alias_other[off + i] = i;
+      (scaled[i] < 1.0 ? small_s : large_s).push_back(i);
+    }
+    while (!small_s.empty() && !large_s.empty()) {
+      int32_t si = small_s.back(); small_s.pop_back();
+      int32_t li = large_s.back(); large_s.pop_back();
+      alias_prob[off + si] = (float)scaled[si];
+      alias_other[off + si] = li;
+      scaled[li] = scaled[li] + scaled[si] - 1.0;
+      (scaled[li] < 1.0 ? small_s : large_s).push_back(li);
+    }
+    // leftovers keep prob = 1 / self alias (already initialized)
+  }
+  return 0;
+}

@@ -57,7 +57,24 @@ def load():
             lib.quad_refine.restype = ctypes.c_int
             lib.quad_compact.restype = ctypes.c_int
             _lib = lib
-        except Exception:
+        except Exception as e:
+            # No silent degradation: the Python fallback walks hundreds of
+            # thousands of nodes per refinement and takes MINUTES at
+            # veach-ajar scale (round-1 verdict item 8).
+            import sys
+
+            detail = ""
+            if isinstance(e, subprocess.CalledProcessError):
+                detail = (e.stderr or b"").decode(errors="replace")[-2000:]
+            print(
+                "WARNING practical_path_guiding_lab_tpu.guiding.native: "
+                f"C++ SD-tree engine unavailable ({type(e).__name__}: {e}). "
+                "Tree refinement falls back to the SLOW Python reference "
+                "implementation (minutes per iteration at production scale)."
+                + (f"\ncompiler output:\n{detail}" if detail else ""),
+                file=sys.stderr,
+                flush=True,
+            )
             _failed = True
             _lib = None
     return _lib
@@ -139,6 +156,24 @@ def refine(tree) -> bool:
     tree.q_count = q_count.value
     tree._kd_recompute_geometry()
     return True
+
+
+def build_alias(leaf_cdf, n_roots, root_leaf_off, root_leaf_cnt):
+    """Walker alias tables over each root's leaf CDF segment. Returns
+    (alias_prob (q_cap,) f32, alias_other (q_cap,) i32) or None."""
+    lib = load()
+    if lib is None or not hasattr(lib, "build_alias"):
+        return None
+    cap = len(leaf_cdf)
+    alias_prob = np.ones(cap, np.float32)
+    alias_other = np.zeros(cap, np.int32)
+    lib.build_alias.restype = ctypes.c_int
+    lib.build_alias(
+        _ptr(leaf_cdf, np.float32), _i64(n_roots),
+        _ptr(root_leaf_off, np.int32), _ptr(root_leaf_cnt, np.int32),
+        _ptr(alias_prob, np.float32), _ptr(alias_other, np.int32),
+    )
+    return alias_prob, alias_other
 
 
 def build_lookup(tree, grid_l: int, max_roots: int):

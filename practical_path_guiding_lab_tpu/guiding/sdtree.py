@@ -67,9 +67,31 @@ class SDTreeDevice:
     leaf_depth: jnp.ndarray     # (NQ,) int32
     root_leaf_off: jnp.ndarray  # (R,) int32
     root_leaf_cnt: jnp.ndarray  # (R,) int32
+    # --- gather-diet tables (XLA TPU gathers cost ~7 ms per instruction at
+    # ~1M lanes regardless of row width <= 16, so every tree op is
+    # restructured to one or two packed row gathers) ---
+    # dense 3-D point-location grid: exact because the reference kd-tree
+    # splits midpoints on axis = depth % 3 (kdtree.py:277) — an octree in
+    # disguise; cell bits per axis cover kd_max_depth levels
+    kd_grid_leaf: jnp.ndarray = None  # (GX*GY*GZ,) int32 kd leaf index
+    kd_grid_slot: jnp.ndarray = None  # (GX*GY*GZ,) int32 root slot
+    # per-slot packed row: [root_f, leaf_off_f, leaf_cnt_f, root_irr, ...]
+    slot_row: jnp.ndarray = None      # (R, 8) float32
+    # hemisphere-mass per 27 quantized normals (adaptive fraction)
+    hemi_tab: jnp.ndarray = None      # (R, 32) float32
+    # Walker alias table over each root's leaf list (exact distribution)
+    alias_pack: jnp.ndarray = None    # (NQ, 4) f32 [prob, other_pos_f, -, -]
+    # per-leaf-list-slot geometry row: [lo_x, lo_y, size, pdf]
+    leaf_geom: jnp.ndarray = None     # (NQ, 4) float32
+    # per-(slot, grid cell) pdf: >= 0 -> final pdf (leaf at/above grid
+    # depth); < 0 -> -(node+1) to continue descending from
+    grid_pdf: jnp.ndarray = None      # (R * 4^GRID_L,) float32
+    # packed quad node row for residual descents: [c0..c3, irr_kid0..3]
+    q_pack: jnp.ndarray = None        # (NQ, 8) float32
     kd_max_depth: int = struct.field(pytree_node=False, default=20)
     quad_max_depth: int = struct.field(pytree_node=False, default=20)
     grid_l: int = struct.field(pytree_node=False, default=GRID_L)
+    kd_grid_bits: tuple = struct.field(pytree_node=False, default=(7, 7, 6))
 
 
 def kd_lookup(tree: SDTreeDevice, p):
@@ -323,14 +345,13 @@ def splat(tree: SDTreeDevice, p, xy, value, weight, nee_xy=None, nee_value=None,
     """
     if mask is None:
         mask = jnp.ones(value.shape, bool)
-    kd_leaf, root = kd_lookup(tree, p)
+    kd_leaf, slot, _srow = kd_lookup_grid(tree, p)
     kd_acc = tree.kd_vert_acc.at[kd_leaf].add(jnp.where(mask, weight, 0.0))
     if nee_xy is not None:
-        # path + NEE directions share one batched leaf descent
-        v = value.shape[0]
-        q_leaf2 = quad_leaf_lookup(
+        # path + NEE directions share one batched leaf location
+        q_leaf2 = quad_leaf_lookup_fast2(
             tree,
-            jnp.concatenate([root, root]),
+            jnp.concatenate([slot, slot]),
             jnp.concatenate([xy, nee_xy], axis=0),
         )
         nee_mask = mask & (nee_value > 0)
@@ -339,7 +360,7 @@ def splat(tree: SDTreeDevice, p, xy, value, weight, nee_xy=None, nee_value=None,
         )
         q_acc = tree.q_irr_acc.at[q_leaf2].add(vals)
     else:
-        q_leaf = quad_leaf_lookup(tree, root, xy)
+        q_leaf = quad_leaf_lookup_fast2(tree, slot, xy)
         q_acc = tree.q_irr_acc.at[q_leaf].add(jnp.where(mask, value, 0.0))
     return tree.replace(kd_vert_acc=kd_acc, q_irr_acc=q_acc)
 
@@ -392,14 +413,177 @@ class SDTree:
         self.q_threshold = np.zeros(quad_capacity, np.float32)
 
         self.kd_threshold = KD_SPLIT_C  # updated per iteration
+        self.last_refine_seconds = 0.0  # wall-clock of the last refine()
 
     # ------------------------------------------------------------------ #
     # device sync
     # ------------------------------------------------------------------ #
 
+    def _kd_grid_bits(self):
+        """Splits per axis along any root->leaf path (axis = depth % 3)."""
+        d = self.kd_max_depth
+        return tuple(len(range(a, d, 3)) for a in range(3))
+
+    def _build_kd_grid(self, root_slot):
+        """Dense 3-D point-location grid (exact: midpoint splits on
+        axis = depth % 3 make the kd-tree an octree in disguise)."""
+        bx, by, bz = self._kd_grid_bits()
+        gx, gy, gz = 1 << bx, 1 << by, 1 << bz
+        gl = np.zeros((gx, gy, gz), np.int32)
+        gs = np.full((gx, gy, gz), -1, np.int32)
+        stack = [(0, 0, gx, 0, gy, 0, gz)]
+        while stack:
+            i, x0, x1, y0, y1, z0, z1 = stack.pop()
+            if self.kd_leaf[i]:
+                gl[x0:x1, y0:y1, z0:z1] = i
+                root = int(self.kd_quad_root[i])
+                gs[x0:x1, y0:y1, z0:z1] = root_slot[root] if root >= 0 else -1
+                continue
+            ax = int(self.kd_axis[i])
+            l = int(self.kd_left[i])
+            if ax == 0:
+                m = (x0 + x1) // 2
+                stack.append((l, x0, m, y0, y1, z0, z1))
+                stack.append((l + 1, m, x1, y0, y1, z0, z1))
+            elif ax == 1:
+                m = (y0 + y1) // 2
+                stack.append((l, x0, x1, y0, m, z0, z1))
+                stack.append((l + 1, x0, x1, m, y1, z0, z1))
+            else:
+                m = (z0 + z1) // 2
+                stack.append((l, x0, x1, y0, y1, z0, m))
+                stack.append((l + 1, x0, x1, y0, y1, m, z1))
+        return gl.reshape(-1), gs.reshape(-1), (bx, by, bz)
+
+    # 27 quantized normals for the hemisphere table: code = (sx+1) +
+    # 3*(sy+1) + 9*(sz+1), s in {-1,0,1}^3; (0,0,0) -> h = 0.5
+    @staticmethod
+    def _quant_normals():
+        dirs = np.zeros((27, 3), np.float32)
+        for q in range(27):
+            s = np.array([q % 3 - 1, q // 3 % 3 - 1, q // 9 - 1], np.float32)
+            n = np.linalg.norm(s)
+            dirs[q] = s / n if n > 0 else 0.0
+        return dirs
+
+    def _build_fast2(self, tables):
+        """Gather-diet tables: per-slot rows, hemisphere table, alias
+        tables, leaf geometry rows, per-cell pdf grid, packed quad rows."""
+        max_roots = self.max_roots
+        res = 1 << GRID_L
+        cells = res * res
+        root_slot = tables["root_slot"]
+        off = tables["root_leaf_off"]
+        cnt = tables["root_leaf_cnt"]
+        leaf_cdf = tables["leaf_cdf"]
+        leaf_node = tables["leaf_node"]
+        leaf_lo = tables["leaf_lo"]
+        leaf_depth = tables["leaf_depth"]
+        grid_node = tables["grid_node"]
+
+        # slot -> root node id
+        live = root_slot >= 0
+        roots_of_slot = np.zeros(max_roots, np.int32)
+        roots_of_slot[root_slot[live]] = np.nonzero(live)[0].astype(np.int32)
+        n_slots = int(live.sum())
+        slots = np.arange(n_slots)
+        roots = roots_of_slot[:n_slots]
+        root_irr = self.q_irr[roots].astype(np.float32)
+
+        slot_row = np.zeros((max_roots, 8), np.float32)
+        slot_row[:n_slots, 0] = roots
+        slot_row[:n_slots, 1] = off[:n_slots]
+        slot_row[:n_slots, 2] = cnt[:n_slots]
+        slot_row[:n_slots, 3] = root_irr
+
+        # hemisphere table: depth-2 cell masses (vectorized over slots)
+        kids = self.q_child[roots]                      # (S,4)
+        kidsv = kids >= 0
+        kid_irr = np.where(kidsv, self.q_irr[np.maximum(kids, 0)], 0.0)
+        gk = self.q_child[np.maximum(kids, 0)]          # (S,4,4)
+        gkv = (gk >= 0) & kidsv[:, :, None]
+        gk_irr = np.where(gkv, self.q_irr[np.maximum(gk, 0)], 0.0)
+        child_leaf = ~gkv.any(axis=-1)                  # (S,4)
+        masses = np.where(
+            child_leaf[:, :, None], kid_irr[:, :, None] / 4.0, gk_irr
+        ).reshape(n_slots, 16)
+        qn = self._quant_normals()                      # (27,3)
+        above = (_depth2_cell_dirs() @ qn.T) > 0.0      # (16,27)
+        tot = masses.sum(axis=1)
+        up = masses @ above                             # (S,27)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            h = np.where(tot[:, None] > 0, up / np.maximum(tot[:, None], 1e-30), 0.5)
+        h[:, 13] = 0.5  # (0,0,0) code
+        root_is_leaf = self.q_child[roots, 0] < 0
+        h[root_is_leaf] = 0.5
+        hemi = np.zeros((max_roots, 32), np.float32)
+        hemi[:n_slots, :27] = h
+
+        # per-leaf-slot geometry rows + alias tables
+        nq_cap = self.quad_capacity
+        total_leaves = int(cnt[:n_slots].sum())
+        leaf_p = leaf_cdf.copy()
+        # p_i = cdf_i - cdf_{i-1} within each segment
+        leaf_p[1:] -= leaf_cdf[:-1]
+        if n_slots:
+            leaf_p[off[:n_slots]] = leaf_cdf[off[:n_slots]]
+        leaf_geom = np.zeros((nq_cap, 4), np.float32)
+        sizes = np.exp2(-leaf_depth.astype(np.float32))
+        leaf_geom[:, 0] = leaf_lo[:, 0]
+        leaf_geom[:, 1] = leaf_lo[:, 1]
+        leaf_geom[:, 2] = sizes
+        leaf_geom[:, 3] = (
+            np.maximum(leaf_p, 0.0)
+            * np.exp2(2.0 * leaf_depth.astype(np.float32))
+            * INV_FOUR_PI
+        )
+        from . import native
+
+        al = native.build_alias(leaf_cdf, n_slots, off, cnt)
+        if al is None:
+            al = _alias_python(leaf_cdf, n_slots, off, cnt)
+        alias_prob, alias_other = al
+        alias_pack = np.zeros((nq_cap, 4), np.float32)
+        alias_pack[:, 0] = alias_prob
+        alias_pack[:, 1] = alias_other
+
+        # packed quad node rows: [c0..3, irr_kid0..3, depth, irr, ...]
+        q_pack = np.zeros((nq_cap, 16), np.float32)
+        qc = self.q_child
+        q_pack[:, 0:4] = qc
+        q_pack[:, 4:8] = np.where(qc >= 0, self.q_irr[np.maximum(qc, 0)], 0.0)
+        q_pack[:, 8] = self.q_depth
+        q_pack[:, 9] = self.q_irr
+
+        # per-(slot, cell) pdf grid: covering node leaf -> final pdf;
+        # internal -> -(node+1); zero-flux root -> uniform 1/4pi
+        gn = grid_node[:n_slots] if n_slots else grid_node[:0]
+        node_leaf = self.q_child[gn, 0] < 0
+        with np.errstate(invalid="ignore", divide="ignore"):
+            pdf_leaf = (
+                self.q_irr[gn]
+                * np.exp2(2.0 * self.q_depth[gn])
+                * INV_FOUR_PI
+                / np.maximum(root_irr[:, None], 1e-30)
+            )
+        val = np.where(node_leaf, pdf_leaf, -(gn + 1.0))
+        val = np.where(root_irr[:, None] > 0, val, INV_FOUR_PI)
+        grid_pdf = np.zeros((max_roots, cells), np.float32)
+        if n_slots:
+            grid_pdf[:n_slots] = val
+
+        gl, gs, bits = self._build_kd_grid(root_slot)
+        return dict(
+            kd_grid_leaf=gl, kd_grid_slot=gs, kd_grid_bits=bits,
+            slot_row=slot_row, hemi_tab=hemi, alias_pack=alias_pack,
+            leaf_geom=leaf_geom, grid_pdf=grid_pdf.reshape(-1),
+            q_pack=q_pack,
+        )
+
     def to_device(self) -> SDTreeDevice:
         size = np.maximum(self.bbox_hi - self.bbox_lo, 1e-9)
         tables = self._build_lookup_tables()
+        fast2 = self._build_fast2(tables)
         return SDTreeDevice(
             kd_axis=jnp.asarray(self.kd_axis),
             kd_split=jnp.asarray(self.kd_split),
@@ -421,9 +605,18 @@ class SDTree:
             leaf_depth=jnp.asarray(tables["leaf_depth"]),
             root_leaf_off=jnp.asarray(tables["root_leaf_off"]),
             root_leaf_cnt=jnp.asarray(tables["root_leaf_cnt"]),
+            kd_grid_leaf=jnp.asarray(fast2["kd_grid_leaf"]),
+            kd_grid_slot=jnp.asarray(fast2["kd_grid_slot"]),
+            slot_row=jnp.asarray(fast2["slot_row"]),
+            hemi_tab=jnp.asarray(fast2["hemi_tab"]),
+            alias_pack=jnp.asarray(fast2["alias_pack"]),
+            leaf_geom=jnp.asarray(fast2["leaf_geom"]),
+            grid_pdf=jnp.asarray(fast2["grid_pdf"]),
+            q_pack=jnp.asarray(fast2["q_pack"]),
             kd_max_depth=self.kd_max_depth,
             quad_max_depth=self.quad_max_depth,
             grid_l=GRID_L,
+            kd_grid_bits=fast2["kd_grid_bits"],
         )
 
     @property
@@ -545,16 +738,32 @@ class SDTree:
         node slots than preallocated (the reference grows its Dr.Jit arrays
         on demand, common.py:161-189); on overflow we restore the pre-refine
         state, double the overflowing pool, and retry."""
+        import time as _time
+
+        t0 = _time.perf_counter()
         for _ in range(8):  # up to 256x growth
             snap = self._snapshot_mutable()
             try:
                 from . import native
 
                 if native.refine(self):  # C++ engine; Python is the reference
+                    self.last_refine_seconds = _time.perf_counter() - t0
                     return
+                if self.q_count > 50_000:
+                    import sys
+
+                    print(
+                        "WARNING: SD-tree refinement running on the Python "
+                        f"fallback with {self.q_count} quad nodes — expect "
+                        "minutes (C++ engine failed to load; see earlier "
+                        "warning).",
+                        file=sys.stderr,
+                        flush=True,
+                    )
                 self._kd_refine()
                 self._quad_refine()
                 self._compact_quad()
+                self.last_refine_seconds = _time.perf_counter() - t0
                 return
             except RuntimeError as e:
                 self._restore_mutable(snap)
@@ -1117,3 +1326,180 @@ def quad_sample(tree, root, u1, u2):
     if USE_FAST_TREE:
         return quad_sample_fast(tree, root, u1, u2)
     return quad_sample_descent(tree, root, u1, u2)
+
+
+def _alias_python(leaf_cdf, n_slots, off, cnt):
+    """Python Vose alias construction (reference for the C++ path)."""
+    cap = len(leaf_cdf)
+    prob = np.ones(cap, np.float32)
+    other = np.zeros(cap, np.int32)
+    for s in range(n_slots):
+        o, c = int(off[s]), int(cnt[s])
+        if c <= 0:
+            continue
+        seg = leaf_cdf[o : o + c].astype(np.float64)
+        p = np.diff(np.concatenate([[0.0], seg])) * c
+        other[o : o + c] = np.arange(c)
+        small = [i for i in range(c) if p[i] < 1.0]
+        large = [i for i in range(c) if p[i] >= 1.0]
+        while small and large:
+            si = small.pop()
+            li = large.pop()
+            prob[o + si] = p[si]
+            other[o + si] = li
+            p[li] = p[li] + p[si] - 1.0
+            (small if p[li] < 1.0 else large).append(li)
+    return prob, other
+
+
+# ===========================================================================
+# Gather-diet device paths: every op is 1-3 packed row gathers
+# ===========================================================================
+
+
+def kd_lookup_grid(tree: SDTreeDevice, p):
+    """Dense-grid point query -> (kd leaf index, root slot, slot_row).
+
+    Exact equivalent of the kd descent (midpoint splits on axis = depth%3),
+    2 gathers instead of ~4 x depth."""
+    bx, by, bz = tree.kd_grid_bits
+    x = (p - tree.bbox_lo) * tree.bbox_inv_size
+    ix = jnp.clip((x[..., 0] * (1 << bx)).astype(jnp.int32), 0, (1 << bx) - 1)
+    iy = jnp.clip((x[..., 1] * (1 << by)).astype(jnp.int32), 0, (1 << by) - 1)
+    iz = jnp.clip((x[..., 2] * (1 << bz)).astype(jnp.int32), 0, (1 << bz) - 1)
+    cell = (ix << (by + bz)) | (iy << bz) | iz
+    kd_leaf = tree.kd_grid_leaf[cell]
+    slot = tree.kd_grid_slot[cell]
+    srow = tree.slot_row[jnp.maximum(slot, 0)]
+    return kd_leaf, slot, srow
+
+
+def hemisphere_fast(tree: SDTreeDevice, slot, n):
+    """1-row-gather hemisphere mass via the per-slot 27-direction table."""
+    hrow = tree.hemi_tab[jnp.maximum(slot, 0)]  # (..., 32)
+    mx = jnp.max(jnp.abs(n), axis=-1, keepdims=True)
+    q = jnp.where(
+        jnp.abs(n) > 0.5 * jnp.maximum(mx, 1e-12), jnp.sign(n), 0.0
+    ).astype(jnp.int32)
+    code = (q[..., 0] + 1) + 3 * (q[..., 1] + 1) + 9 * (q[..., 2] + 1)
+    io = jax.lax.broadcasted_iota(jnp.int32, hrow.shape, hrow.ndim - 1)
+    h = jnp.sum(jnp.where(io == code[..., None], hrow, 0.0), axis=-1)
+    return jnp.where(slot >= 0, h, 0.5)
+
+
+def quad_sample_fast2(tree: SDTreeDevice, srow, u1, u2):
+    """Alias-table leaf sampling: 2 packed row gathers, exact distribution."""
+    off = srow[..., 1].astype(jnp.int32)
+    cnt = jnp.maximum(srow[..., 2].astype(jnp.int32), 1)
+    root_irr = srow[..., 3]
+    scaled = u1 * cnt.astype(jnp.float32)
+    j = jnp.clip(scaled.astype(jnp.int32), 0, cnt - 1)
+    v = jnp.clip(scaled - j.astype(jnp.float32), 0.0, 1.0 - 1e-7)
+    arow = tree.alias_pack[off + j]
+    prob = arow[..., 0]
+    take_self = v < prob
+    j2 = jnp.where(take_self, j, arow[..., 1].astype(jnp.int32))
+    vr = jnp.where(
+        take_self,
+        v / jnp.maximum(prob, 1e-12),
+        (v - prob) / jnp.maximum(1.0 - prob, 1e-12),
+    )
+    vr = jnp.clip(vr, 0.0, 1.0 - 1e-7)
+    g = tree.leaf_geom[off + j2]  # [lo_x, lo_y, size, pdf]
+    xy = jnp.stack(
+        [g[..., 0] + g[..., 2] * vr, g[..., 1] + g[..., 2] * u2], axis=-1
+    )
+    pdf = g[..., 3]
+    uni = root_irr <= 0
+    xy = jnp.where(uni[..., None], jnp.stack([u1, u2], axis=-1), xy)
+    pdf = jnp.where(uni, INV_FOUR_PI, pdf)
+    return jnp.clip(xy, 0.0, 1.0 - 1e-7), pdf
+
+
+def _residual_quadrant(row, xy):
+    """Child pick + per-level pdf ratio from a packed q_pack row."""
+    d = row[..., 8]
+    scale = jnp.exp2(d)
+    mx = (jnp.floor(xy[..., 0] * scale) + 0.5) / scale
+    my = (jnp.floor(xy[..., 1] * scale) + 0.5) / scale
+    c = _quadrant(xy[..., 0], xy[..., 1], mx, my)
+    cio = jax.lax.broadcasted_iota(jnp.int32, row[..., 0:4].shape, row.ndim - 1)
+    selc = cio == c[..., None]
+    child = jnp.sum(jnp.where(selc, row[..., 0:4], 0.0), axis=-1).astype(jnp.int32)
+    irr_c = jnp.sum(jnp.where(selc, row[..., 4:8], 0.0), axis=-1)
+    irr_n = row[..., 9]
+    ratio = jnp.where(irr_n > 0, 4.0 * irr_c / jnp.maximum(irr_n, 1e-30), 1.0)
+    is_leaf = row[..., 0] < 0
+    return child, ratio, is_leaf
+
+
+def quad_pdf_fast2(tree: SDTreeDevice, slot, srow, xy):
+    """Grid-accelerated pdf: 1 flat gather resolves cells whose covering
+    node at grid depth is a leaf; deeper cells descend with packed rows."""
+    res = 1 << tree.grid_l
+    cx = jnp.clip((xy[..., 0] * res).astype(jnp.int32), 0, res - 1)
+    cy = jnp.clip((xy[..., 1] * res).astype(jnp.int32), 0, res - 1)
+    base = jnp.maximum(slot, 0) * (res * res)
+    v = tree.grid_pdf[base + cy * res + cx]
+    done0 = v >= 0
+    node0 = (-v).astype(jnp.int32) - 1
+    root_irr = srow[..., 3]
+
+    # prefix pdf at the covering internal node: irr(n0)*4^grid_l/(4pi*irr_root)
+    def cond(carry):
+        i, node, mul, done = carry
+        return (i < tree.quad_max_depth) & ~jnp.all(done)
+
+    def body(carry):
+        i, node, mul, done = carry
+        row = tree.q_pack[jnp.maximum(node, 0)]
+        child, ratio, is_leaf = _residual_quadrant(row, xy)
+        adv = ~done & ~is_leaf
+        mul2 = jnp.where(adv, mul * ratio, mul)
+        node2 = jnp.where(adv, child, node)
+        done2 = done | is_leaf
+        return i + 1, node2, mul2, done2
+
+    row0 = tree.q_pack[jnp.maximum(node0, 0)]
+    prefix = jnp.where(
+        done0,
+        0.0,
+        row0[..., 9]
+        * jnp.exp2(2.0 * jnp.float32(tree.grid_l))
+        * INV_FOUR_PI
+        / jnp.maximum(root_irr, 1e-30),
+    )
+    _, _, mul, _ = jax.lax.while_loop(
+        cond,
+        body,
+        (jnp.int32(0), node0, jnp.ones(xy.shape[:-1], jnp.float32), done0),
+    )
+    pdf = jnp.where(done0, jnp.maximum(v, 0.0), prefix * mul)
+    return jnp.where(jnp.isfinite(pdf), pdf, 0.0)
+
+
+def quad_leaf_lookup_fast2(tree: SDTreeDevice, slot, xy):
+    """Point location via grid_node + packed-row residual descent."""
+    res = 1 << tree.grid_l
+    cx = jnp.clip((xy[..., 0] * res).astype(jnp.int32), 0, res - 1)
+    cy = jnp.clip((xy[..., 1] * res).astype(jnp.int32), 0, res - 1)
+    node = tree.grid_node.reshape(-1)[
+        jnp.maximum(slot, 0) * (res * res) + cy * res + cx
+    ]
+
+    def cond(carry):
+        i, node, done = carry
+        return (i < tree.quad_max_depth) & ~jnp.all(done)
+
+    def body(carry):
+        i, node, done = carry
+        row = tree.q_pack[jnp.maximum(node, 0)]
+        child, _, is_leaf = _residual_quadrant(row, xy)
+        node2 = jnp.where(done | is_leaf, node, child)
+        return i + 1, node2, done | is_leaf
+
+    # resolve "is node already a leaf" in the first loop iteration
+    _, node, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), node, jnp.zeros(xy.shape[:-1], bool))
+    )
+    return node

@@ -175,12 +175,22 @@ def _scatter_uncompressed(dec, out, names, ptypes, row0, n_lines, width):
             pos += nb
 
 
-def write(path, img: np.ndarray, half: bool = True):
-    """Write (H, W, 3) float array as a ZIP-compressed RGB EXR."""
+def write(path, img: np.ndarray, half: bool = True, compression: str = "zip"):
+    """Write (H, W, 3) float array as an RGB EXR.
+
+    compression: "zip" (16-line deflate blocks), "piz" (32-line
+    wavelet+Huffman blocks, HALF only — full mi.Bitmap IO parity,
+    main.py:400-401), or "none".
+    """
     img = np.asarray(img, dtype=np.float32)
     h, w = img.shape[:2]
     names = ["B", "G", "R"]  # alphabetical channel order
     src = {"R": img[..., 0], "G": img[..., 1], "B": img[..., 2]}
+    comp_id = {"zip": _COMP_ZIP, "piz": _COMP_PIZ, "none": _COMP_NONE}[
+        compression
+    ]
+    if compression == "piz" and not half:
+        raise NotImplementedError("PIZ write supports HALF only")
     ptype = _PT_HALF if half else _PT_FLOAT
     psize = 2 if half else 4
 
@@ -196,7 +206,7 @@ def write(path, img: np.ndarray, half: bool = True):
         chl += n.encode() + b"\0" + struct.pack("<iiii", ptype, 0, 1, 1)
     chl += b"\0"
     attr("channels", "chlist", bytes(chl))
-    attr("compression", "compression", bytes([_COMP_ZIP]))
+    attr("compression", "compression", bytes([comp_id]))
     attr("dataWindow", "box2i", struct.pack("<4i", 0, 0, w - 1, h - 1))
     attr("displayWindow", "box2i", struct.pack("<4i", 0, 0, w - 1, h - 1))
     attr("lineOrder", "lineOrder", b"\0")
@@ -205,11 +215,29 @@ def write(path, img: np.ndarray, half: bool = True):
     attr("screenWindowWidth", "float", struct.pack("<f", 1.0))
     hdr += b"\0"
 
-    n_blocks = (h + 15) // 16
+    lpb = _LINES_PER_BLOCK[comp_id]
+    n_blocks = (h + lpb - 1) // lpb
     chunks = []
     for bi in range(n_blocks):
-        row0 = bi * 16
-        n_lines = min(16, h - row0)
+        row0 = bi * lpb
+        n_lines = min(lpb, h - row0)
+        if compression == "piz":
+            planes = np.stack(
+                [
+                    src[n][row0 : row0 + n_lines]
+                    .astype(np.float16)
+                    .view(np.uint16)
+                    for n in names
+                ]
+            )
+            comp = _piz.piz_compress(planes)
+            raw_len = planes.size * 2
+            if len(comp) >= raw_len:
+                comp = planes.reshape(
+                    len(names), n_lines, w
+                ).transpose(1, 0, 2).tobytes()
+            chunks.append((row0, comp))
+            continue
         lines = []
         for li in range(n_lines):
             for n in names:
@@ -217,6 +245,9 @@ def write(path, img: np.ndarray, half: bool = True):
                 v = v.astype(np.float16) if half else v.astype(np.float32)
                 lines.append(v.tobytes())
         rawb = b"".join(lines)
+        if compression == "none":
+            chunks.append((row0, rawb))
+            continue
         comp = zlib.compress(_apply_zip_predictor(np.frombuffer(rawb, np.uint8)))
         if len(comp) >= len(rawb):
             comp = rawb

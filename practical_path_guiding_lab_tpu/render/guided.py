@@ -133,18 +133,19 @@ def _bounce_body(scene, tree_prev, seed0, pass_index, iteration,
     # (0 and 1, and pure-PT comparisons) skip the gather-heavy tree work
     # entirely; guided iterations run it once per bounce.
     def _tree_work(args):
+        # gather-diet paths: dense-grid kd lookup (2 gathers), packed-row
+        # pdf/sample/hemisphere (~1-3 gathers each) — XLA TPU gathers cost
+        # ~7 ms per instruction at 1M lanes, so instruction count rules
         p, ns, wo_nee, bs_wo, g1, g2 = args
-        _, q_root = sd.kd_lookup(tree_prev, p)
-        # both pdf queries share one batched descent (half the loop
-        # overhead; identical gather count)
+        _, slot, srow = sd.kd_lookup_grid(tree_prev, p)
         xy2 = dir_to_canonical(jnp.concatenate([wo_nee, bs_wo], axis=0))
-        pdf2 = sd.quad_pdf(
-            tree_prev, jnp.concatenate([q_root, q_root]), xy2
-        )
+        slot2 = jnp.concatenate([slot, slot])
+        srow2 = jnp.concatenate([srow, srow], axis=0)
+        pdf2 = sd.quad_pdf_fast2(tree_prev, slot2, srow2, xy2)
         nn = p.shape[0]
         t_pdf_nee, t_pdf_b = pdf2[:nn], pdf2[nn:]
-        t_xy, t_pdf_s = sd.quad_sample(tree_prev, q_root, g1, g2)
-        h = sd.hemisphere_mass(tree_prev, q_root, ns)
+        t_xy, t_pdf_s = sd.quad_sample_fast2(tree_prev, srow, g1, g2)
+        h = sd.hemisphere_fast(tree_prev, slot, ns)
         return t_pdf_nee, t_xy, t_pdf_s, t_pdf_b, h
 
     def _no_tree(args):

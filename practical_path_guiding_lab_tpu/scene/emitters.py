@@ -11,6 +11,7 @@ directional lights are delta (never MIS'd against BSDF samples).
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -43,6 +44,9 @@ class EmitterTable:
     env_col_cdf: jnp.ndarray   # (H,W)
     env_pdf_norm: jnp.ndarray  # scalar: sum of weights
     env_scale: jnp.ndarray     # scalar
+    # packed per-emitter scalars for one-row-gather access on device:
+    # [kind, area, radius, center(3), direction(3), radiance(3), pad...] (E,16)
+    packed: jnp.ndarray = None
     env_index: int = struct.field(pytree_node=False, default=-1)
     num: int = struct.field(pytree_node=False, default=0)
 
@@ -144,9 +148,18 @@ def build_emitters(desc, tris) -> EmitterTable:
     row_cdf = np.cumsum(row_w) / row_w.sum()
     col_cdf = np.cumsum(wgt, axis=1) / wgt.sum(axis=1, keepdims=True)
 
+    packed = np.zeros((E, 16), np.float32)
+    packed[:, 0] = kinds.astype(np.float32)
+    packed[:, 1] = area
+    packed[:, 2] = radius
+    packed[:, 3:6] = center
+    packed[:, 6:9] = direction
+    packed[:, 9:12] = radiance
+
     return EmitterTable(
         kinds=jnp.asarray(kinds),
         radiance=jnp.asarray(radiance),
+        packed=jnp.asarray(packed),
         tri_ids=jnp.asarray(tri_ids),
         tri_cdf=jnp.asarray(tri_cdf),
         area=jnp.asarray(area),
@@ -232,27 +245,34 @@ def sample_nee(em: EmitterTable, tris, p, u_sel, u1, u2):
     E = em.num
     n = p.shape[:-1]
     ei = jnp.clip((u_sel * E).astype(jnp.int32), 0, E - 1)
-    kind = em.kinds[ei]
+    # packed per-emitter scalars: ONE row gather (XLA TPU gathers cost the
+    # same for any row width <= 16)
+    row = em.packed[ei]  # (..., 16)
+    kind = row[..., 0].astype(jnp.int32)
 
     # --- area mesh: pick triangle by CDF, uniform barycentric ---
-    tcdf = em.tri_cdf[ei]  # (..., K)
+    tcdf = em.tri_cdf[ei]  # (..., K) row gather
+    K = tcdf.shape[-1]
     ti_local = jnp.sum(tcdf < u1[..., None], axis=-1)
-    ti_local = jnp.clip(ti_local, 0, em.tri_ids.shape[1] - 1)
-    tid = jnp.take_along_axis(em.tri_ids[ei], ti_local[..., None], axis=-1)[..., 0]
-    # re-draw u1 within the chosen triangle segment for stratification
-    lo = jnp.where(
-        ti_local > 0,
-        jnp.take_along_axis(tcdf, jnp.maximum(ti_local - 1, 0)[..., None], -1)[..., 0],
-        0.0,
+    ti_local = jnp.clip(ti_local, 0, K - 1)
+    # one-hot selects instead of minor-axis take_along_axis (slow on TPU)
+    kio = jax.lax.broadcasted_iota(jnp.int32, tcdf.shape, len(tcdf.shape) - 1)
+    sel = kio == ti_local[..., None]
+    tid = jnp.sum(jnp.where(sel, em.tri_ids[ei], 0), axis=-1)
+    hi = jnp.sum(jnp.where(sel, tcdf, 0.0), axis=-1)
+    lo = jnp.sum(
+        jnp.where(kio == (ti_local - 1)[..., None], tcdf, 0.0), axis=-1
     )
-    hi = jnp.take_along_axis(tcdf, ti_local[..., None], -1)[..., 0]
+    # re-draw u1 within the chosen triangle segment for stratification
     u1r = jnp.clip((u1 - lo) / jnp.maximum(hi - lo, 1e-12), 0.0, 1.0)
     su = safe_sqrt(u1r)
     b1 = 1.0 - su
     b2 = u2 * su
-    v0 = tris["v0"][tid]
-    v1 = tris["v1"][tid]
-    v2 = tris["v2"][tid]
+    # packed tri row: [v0 | e1 | e2] — one gather replaces v0/v1/v2
+    trow = tris["soa"][tid]  # (..., 16)
+    v0 = trow[..., 0:3]
+    v1 = v0 + trow[..., 3:6]
+    v2 = v0 + trow[..., 6:9]
     pos_mesh = v0 * (1 - b1 - b2)[..., None] + v1 * b1[..., None] + v2 * b2[..., None]
     ng = jnp.cross(v1 - v0, v2 - v0)
     ng = normalize(ng)
@@ -262,13 +282,13 @@ def sample_nee(em: EmitterTable, tris, p, u_sel, u1, u2):
     cos_l = dot(ng, -wo_mesh)
     # one-sided emission (toward normal side): Li = radiance if cos_l > 0
     pdf_mesh = (dist_mesh * dist_mesh) / jnp.maximum(
-        em.area[ei] * jnp.abs(cos_l), 1e-12
+        row[..., 1] * jnp.abs(cos_l), 1e-12
     )
     ok_mesh = cos_l > 1e-6
 
     # --- sphere: uniform cone toward sphere ---
-    c = em.center[ei]
-    r = em.radius[ei]
+    c = row[..., 3:6]
+    r = row[..., 2]
     dc = c - p
     dist_c = jnp.linalg.norm(dc, axis=-1)
     dir_c = dc / jnp.maximum(dist_c, 1e-12)[..., None]
@@ -292,7 +312,7 @@ def sample_nee(em: EmitterTable, tris, p, u_sel, u1, u2):
     ok_sph = dist_c > r  # outside the sphere
 
     # --- directional ---
-    wo_dir = -em.direction[ei]
+    wo_dir = -row[..., 6:9]
     ok_dir = jnp.ones(n, bool)
 
     # --- envmap ---
@@ -332,7 +352,7 @@ def sample_nee(em: EmitterTable, tris, p, u_sel, u1, u2):
     Li = jnp.where(
         is_env[..., None],
         rad_env,
-        em.radiance[ei],
+        row[..., 9:12],
     )
     valid = jnp.where(
         is_mesh, ok_mesh, jnp.where(is_sph, ok_sph, jnp.ones(n, bool))
@@ -357,11 +377,12 @@ def pdf_hit_dir(em: EmitterTable, p, wo, hit_emitter, hit_t, hit_n):
     ``hit_t`` with normal ``hit_n`` (for MIS weighting of emission hits)."""
     E = em.num
     ei = jnp.maximum(hit_emitter, 0)
-    kind = em.kinds[ei]
+    row = em.packed[ei]  # one row gather for all per-emitter scalars
+    kind = row[..., 0].astype(jnp.int32)
     cos_l = jnp.abs(dot(hit_n, -wo))
-    pdf_mesh = (hit_t * hit_t) / jnp.maximum(em.area[ei] * cos_l, 1e-12)
-    c = em.center[ei]
-    r = em.radius[ei]
+    pdf_mesh = (hit_t * hit_t) / jnp.maximum(row[..., 1] * cos_l, 1e-12)
+    c = row[..., 3:6]
+    r = row[..., 2]
     dist_c = jnp.linalg.norm(c - p, axis=-1)
     sin_max2 = jnp.clip((r / jnp.maximum(dist_c, 1e-12)) ** 2, 0.0, 1.0)
     cos_max = safe_sqrt(1.0 - sin_max2)

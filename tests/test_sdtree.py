@@ -318,3 +318,64 @@ def test_fast_tables_deep_tree_exact():
     pdf_f = np.asarray(sd.quad_pdf_fast(dev, roots, q))
     pdf_d = np.asarray(sd.quad_pdf_descent(dev, roots, q))
     assert np.allclose(pdf_f, pdf_d, rtol=2e-3, atol=1e-7)
+
+
+def test_fast2_paths_match_descent(rng_np):
+    """Gather-diet device paths (dense kd grid, alias sampling, grid pdf,
+    packed-row point location) vs the reference descents."""
+    import jax.numpy as jnp
+    from practical_path_guiding_lab_tpu.guiding import sdtree as sd
+
+    tree = sd.SDTree([0, 0, 0], [1, 1, 1], kd_capacity=1 << 10,
+                     quad_capacity=1 << 14)
+    # train with random records and refine twice for real structure
+    n = 20000
+    for it in range(2):
+        dev = tree.to_device()
+        p = rng_np.random((n, 3)).astype(np.float32)
+        xy = rng_np.random((n, 2)).astype(np.float32)
+        val = rng_np.random(n).astype(np.float32) * 10
+        dev = sd.splat(dev, jnp.asarray(p), jnp.asarray(xy),
+                       jnp.asarray(val), jnp.ones(n, jnp.float32))
+        tree.absorb_accumulators(dev)
+        tree.kd_threshold = 3000.0
+        tree.refine()
+    dev = tree.to_device()
+
+    m = 4096
+    p = jnp.asarray(rng_np.random((m, 3)).astype(np.float32))
+    xy = jnp.asarray(rng_np.random((m, 2)).astype(np.float32))
+    u1 = jnp.asarray(rng_np.random(m).astype(np.float32))
+    u2 = jnp.asarray(rng_np.random(m).astype(np.float32))
+
+    kd_ref, root_ref = sd.kd_lookup(dev, p)
+    kd_g, slot, srow = sd.kd_lookup_grid(dev, p)
+    assert (np.asarray(kd_g) == np.asarray(kd_ref)).all()
+    # slot -> root agreement
+    assert np.allclose(np.asarray(srow[:, 0]), np.asarray(root_ref))
+
+    pdf_ref = sd.quad_pdf_descent(dev, root_ref, xy)
+    pdf_g = sd.quad_pdf_fast2(dev, slot, srow, xy)
+    assert np.allclose(np.asarray(pdf_g), np.asarray(pdf_ref), rtol=1e-4,
+                       atol=1e-6)
+
+    leaf_ref = sd.quad_leaf_lookup_descent(dev, root_ref, xy)
+    leaf_g = sd.quad_leaf_lookup_fast2(dev, slot, xy)
+    assert (np.asarray(leaf_g) == np.asarray(leaf_ref)).all()
+
+    # alias sampling: distribution check — histogram of sampled leaves
+    # matches leaf probabilities, and reported pdf equals pdf query
+    txy, tpdf = sd.quad_sample_fast2(dev, srow, u1, u2)
+    pdf_at = sd.quad_pdf_fast2(dev, slot, srow, txy)
+    assert np.allclose(np.asarray(tpdf), np.asarray(pdf_at), rtol=1e-4,
+                       atol=1e-6)
+    # MC: mean(1/pdf) over samples = 4pi (integral of 1 over sphere)
+    inv = 1.0 / np.maximum(np.asarray(tpdf), 1e-12)
+    assert abs(inv.mean() / (4 * np.pi) - 1.0) < 0.15
+
+    # hemisphere table vs exact 16-cell computation at quantized normals
+    nq = sd.SDTree._quant_normals()[4]  # (-1,0,0)-ish direction
+    nrm = jnp.asarray(np.tile(nq, (m, 1)))
+    h_ref = sd.hemisphere_mass(dev, root_ref, nrm)
+    h_fast = sd.hemisphere_fast(dev, slot, nrm)
+    assert np.allclose(np.asarray(h_fast), np.asarray(h_ref), atol=1e-5)
