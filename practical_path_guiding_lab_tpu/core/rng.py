@@ -30,6 +30,7 @@ class PurposeId:
     RR = 6
     FILTER = 7
     LOBE = 8
+    SPLAT_JITTER = 9
 
     COUNT = 16  # reserved slots per bounce
 

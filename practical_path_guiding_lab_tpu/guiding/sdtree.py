@@ -88,6 +88,10 @@ class SDTreeDevice:
     grid_pdf: jnp.ndarray = None      # (R * 4^GRID_L,) float32
     # packed quad node row for residual descents: [c0..c3, irr_kid0..3]
     q_pack: jnp.ndarray = None        # (NQ, 8) float32
+    # per-kd-node world-space extents (for stochastic spatial splat
+    # filtering, Mueller's practical improvement): derivable from depth
+    # alone since axis = depth % 3
+    kd_ext: jnp.ndarray = None        # (NK, 4) float32
     kd_max_depth: int = struct.field(pytree_node=False, default=20)
     quad_max_depth: int = struct.field(pytree_node=False, default=20)
     grid_l: int = struct.field(pytree_node=False, default=GRID_L)
@@ -300,6 +304,36 @@ def _cell_dirs():
     return _CELL_DIRS
 
 
+_CELL_DIRS_L = {}
+
+
+def _cell_dirs_at(L: int):
+    """World dirs of the 4^L canonical cell centers; index digits base-4
+    coarse->fine (finest least significant), matching quadrant expansion
+    child-last reshape order."""
+    if L not in _CELL_DIRS_L:
+        n = 4 ** L
+        xy = np.zeros((n, 2), np.float32)
+        for i in range(n):
+            v = i
+            digs = []
+            for _ in range(L):
+                digs.append(v % 4)
+                v //= 4
+            digs.reverse()  # coarse first
+            pos = np.zeros(2, np.float32)
+            for lvl, d in enumerate(digs):
+                pos += _QUAD_OFF[d] * (0.5 ** (lvl + 1))
+            xy[i] = pos + 0.5 ** (L + 1)
+        cos_t = 2.0 * xy[:, 1] - 1.0
+        phi = 2.0 * np.pi * xy[:, 0]
+        sin_t = np.sqrt(np.maximum(1.0 - cos_t * cos_t, 0.0))
+        _CELL_DIRS_L[L] = np.stack(
+            [sin_t * np.cos(phi), sin_t * np.sin(phi), cos_t], axis=-1
+        ).astype(np.float32)
+    return _CELL_DIRS_L[L]
+
+
 def hemisphere_mass(tree: SDTreeDevice, root, n):
     """Approximate fraction of the tree's directional mass above the
     horizon of normal ``n`` (N,3): expand the root two levels (16 canonical
@@ -333,7 +367,7 @@ def hemisphere_mass(tree: SDTreeDevice, root, n):
 
 
 def splat(tree: SDTreeDevice, p, xy, value, weight, nee_xy=None, nee_value=None,
-          mask=None):
+          mask=None, jitter_u=None):
     """Accumulate training records into the leaf accumulators.
 
     p: (V,3) world positions; xy: (V,2) canonical directions;
@@ -345,6 +379,14 @@ def splat(tree: SDTreeDevice, p, xy, value, weight, nee_xy=None, nee_value=None,
     """
     if mask is None:
         mask = jnp.ones(value.shape, bool)
+    if jitter_u is not None:
+        # stochastic spatial splat filter (Mueller's practical improvement):
+        # jitter each record within its kd leaf's extent — a box filter
+        # over neighboring spatial cells in expectation. Affects only the
+        # guiding distribution's smoothness, never estimator bias.
+        kd_leaf0, _, _ = kd_lookup_grid(tree, p)
+        ext = tree.kd_ext[kd_leaf0]  # (V, 4)
+        p = p + (jitter_u - 0.5) * ext[..., 0:3]
     kd_leaf, slot, _srow = kd_lookup_grid(tree, p)
     kd_acc = tree.kd_vert_acc.at[kd_leaf].add(jnp.where(mask, weight, 0.0))
     if nee_xy is not None:
@@ -495,20 +537,36 @@ class SDTree:
         slot_row[:n_slots, 1] = off[:n_slots]
         slot_row[:n_slots, 2] = cnt[:n_slots]
         slot_row[:n_slots, 3] = root_irr
+        # field 4: training-record count of the kd leaf owning this root
+        # (tree maturity — drives the optional "m" fraction policies)
+        kd_ids = np.nonzero(self.kd_leaf[: self.kd_count])[0]
+        r_of_leaf = self.kd_quad_root[kd_ids]
+        ok = r_of_leaf >= 0
+        s_of_leaf = root_slot[r_of_leaf[ok]]
+        sv = s_of_leaf >= 0
+        slot_row[s_of_leaf[sv], 4] = self.kd_vert[kd_ids[ok][sv]]
 
-        # hemisphere table: depth-2 cell masses (vectorized over slots)
-        kids = self.q_child[roots]                      # (S,4)
-        kidsv = kids >= 0
-        kid_irr = np.where(kidsv, self.q_irr[np.maximum(kids, 0)], 0.0)
-        gk = self.q_child[np.maximum(kids, 0)]          # (S,4,4)
-        gkv = (gk >= 0) & kidsv[:, :, None]
-        gk_irr = np.where(gkv, self.q_irr[np.maximum(gk, 0)], 0.0)
-        child_leaf = ~gkv.any(axis=-1)                  # (S,4)
-        masses = np.where(
-            child_leaf[:, :, None], kid_irr[:, :, None] / 4.0, gk_irr
-        ).reshape(n_slots, 16)
+        # hemisphere table: depth-3 cell masses (64 cells of ~0.2 sr,
+        # vectorized level expansion over slots; leaf subtrees split their
+        # mass uniformly among virtual sub-cells)
+        HEMI_L = 3
+        nodes = roots[:, None].astype(np.int64)         # (S,1)
+        mass = self.q_irr[roots][:, None]
+        for _ in range(HEMI_L):
+            kids = np.where(
+                nodes[:, :, None] >= 0,
+                self.q_child[np.maximum(nodes, 0)],
+                -1,
+            )                                           # (S,C,4)
+            valid = kids >= 0
+            kmass = np.where(
+                valid, self.q_irr[np.maximum(kids, 0)], mass[:, :, None] / 4.0
+            )
+            nodes = kids.reshape(nodes.shape[0], -1)
+            mass = kmass.reshape(mass.shape[0], -1)
+        masses = mass                                   # (S, 64)
         qn = self._quant_normals()                      # (27,3)
-        above = (_depth2_cell_dirs() @ qn.T) > 0.0      # (16,27)
+        above = (_cell_dirs_at(HEMI_L) @ qn.T) > 0.0    # (64,27)
         tot = masses.sum(axis=1)
         up = masses @ above                             # (S,27)
         with np.errstate(invalid="ignore", divide="ignore"):
@@ -573,11 +631,20 @@ class SDTree:
             grid_pdf[:n_slots] = val
 
         gl, gs, bits = self._build_kd_grid(root_slot)
+
+        # per-kd-node extents: axis a halves len(range(a, depth, 3)) times
+        size = np.maximum(self.bbox_hi - self.bbox_lo, 1e-9)
+        d = self.kd_depth.astype(np.int64)
+        kd_ext = np.zeros((self.kd_capacity, 4), np.float32)
+        for a in range(3):
+            halvings = (d - a + 2) // 3
+            halvings = np.maximum(halvings, 0)
+            kd_ext[:, a] = size[a] * np.exp2(-halvings.astype(np.float32))
         return dict(
             kd_grid_leaf=gl, kd_grid_slot=gs, kd_grid_bits=bits,
             slot_row=slot_row, hemi_tab=hemi, alias_pack=alias_pack,
             leaf_geom=leaf_geom, grid_pdf=grid_pdf.reshape(-1),
-            q_pack=q_pack,
+            q_pack=q_pack, kd_ext=kd_ext,
         )
 
     def to_device(self) -> SDTreeDevice:
@@ -613,6 +680,7 @@ class SDTree:
             leaf_geom=jnp.asarray(fast2["leaf_geom"]),
             grid_pdf=jnp.asarray(fast2["grid_pdf"]),
             q_pack=jnp.asarray(fast2["q_pack"]),
+            kd_ext=jnp.asarray(fast2["kd_ext"]),
             kd_max_depth=self.kd_max_depth,
             quad_max_depth=self.quad_max_depth,
             grid_l=GRID_L,

@@ -104,7 +104,7 @@ def guided_pass_sharded(
             record=record, bsdf_fraction=bsdf_fraction,
         )
         if record:
-            tree2 = process_and_splat(tree, recs, L)
+            tree2 = process_and_splat(tree, recs, L, seed0, pass_index)
             # all-reduce the splat histograms over ICI
             tree2 = tree2.replace(
                 kd_vert_acc=jax.lax.psum(tree2.kd_vert_acc, "dp"),

