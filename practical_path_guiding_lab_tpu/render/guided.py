@@ -170,7 +170,7 @@ def _bounce_body(scene, tree_prev, seed0, pass_index, iteration,
     if adaptive_fraction_enabled():
         import os
 
-        policy = os.environ.get("PPG_FRAC_POLICY", "h")
+        policy = os.environ.get("PPG_FRAC_POLICY", "hsq")
         if policy == "trust":  # only trees with >50% usable mass
             share = jnp.maximum(2.0 * hemi - 1.0, 0.0)
         elif policy.startswith("hsq"):
