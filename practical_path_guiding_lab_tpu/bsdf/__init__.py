@@ -112,17 +112,22 @@ def make_context(scene, si) -> BSDFContext:
 
 
 def _fdr(eta):
-    """Average diffuse Fresnel reflectance (d'Eon & Irving rational fit
-    domain eta>1; low-precision fit is fine for the plastic model)."""
-    inv = 1.0 / eta
-    return jnp.where(
-        eta < 1.0,
-        -1.4399 * inv * inv * (0.0) + 0.0,  # corpus always has eta > 1
+    """Average diffuse Fresnel reflectance, both domains (Mitsuba's
+    fresnel_diffuse_reflectance rational fits: Egan & Hilgeman for
+    eta < 1, d'Eon & Irving for eta > 1)."""
+    lt = (
+        -1.4399 * eta * eta
+        + 0.7099 * eta
+        + 0.6681
+        + 0.0636 / eta
+    )
+    gt = (
         -1.4399 / (eta * eta)
         + 0.7099 / eta
         + 0.6681
-        + 0.0636 * eta,
+        + 0.0636 * eta
     )
+    return jnp.clip(jnp.where(eta < 1.0, lt, gt), 0.0, 1.0)
 
 
 # ---------------------------------------------------------------------------
