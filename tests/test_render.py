@@ -52,3 +52,32 @@ def test_cornell_golden_mse(cornell_small):
     assert abs(img.mean() / gtd.mean() - 1.0) < 0.03
     corr = np.corrcoef(lum(img).ravel(), lum(gtd).ravel())[0, 1]
     assert corr > 0.99
+
+
+def test_rr_modes(monkeypatch):
+    """apply_rr semantics: reference truncates (no reweight), unbiased
+    reweights by 1/q, clamped bounds q to [0.1, 0.95]."""
+    import jax.numpy as jnp
+    from practical_path_guiding_lab_tpu.render import path_tracer as pt
+
+    n = 4
+    tp = jnp.full((n, 3), 0.2)
+    eta = jnp.ones(n)
+    u = jnp.asarray([0.05, 0.15, 0.5, 0.9])
+
+    monkeypatch.setenv("PPG_RR", "reference")
+    tp_ref, sv_ref = pt.apply_rr(tp, eta, u, True, n)
+    assert np.allclose(np.asarray(tp_ref), 0.2)  # never reweighted
+    assert list(np.asarray(sv_ref)) == [True, True, False, False]  # q=0.2
+
+    monkeypatch.setenv("PPG_RR", "unbiased")
+    tp_u, sv_u = pt.apply_rr(tp, eta, u, True, n)
+    assert np.allclose(np.asarray(tp_u), 1.0)  # 0.2 / q(=0.2)
+    assert list(np.asarray(sv_u)) == list(np.asarray(sv_ref))
+
+    monkeypatch.setenv("PPG_RR", "clamped")
+    tp_c, sv_c = pt.apply_rr(tp, eta, u, True, n)
+    assert np.allclose(np.asarray(tp_c), 1.0)  # q clamped at >= 0.1 -> 0.2
+    tp_tiny = jnp.full((n, 3), 0.01)
+    tp_c2, _ = pt.apply_rr(tp_tiny, eta, u, True, n)
+    assert np.allclose(np.asarray(tp_c2), 0.1)  # 0.01 / 0.1 floor
