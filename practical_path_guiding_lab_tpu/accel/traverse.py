@@ -21,6 +21,19 @@ TRI_BLOCK = 128
 # blow the 16 MB scoped-VMEM limit on big scenes (measured: torus, 512
 # clusters, 16.19 MB); route those to the brute kernel
 MAX_CLUSTERS_FOR_CLUSTERED = 256
+# the BVH kernel keeps the whole node+triangle tables VMEM-resident and an
+# SMEM leaf list; beyond this table footprint fall back to the brute
+# kernel instead of failing Mosaic compilation (~16 MB VMEM/core minus the
+# ray tiles and double-buffering headroom)
+MAX_BVH_TABLE_BYTES = 8 << 20
+
+
+def _bvh_fits(scene) -> bool:
+    if scene.bvh_n_nodes <= 0:
+        return False
+    nodes = scene.tris["bvh_nodes"]
+    tris = scene.tris["bvh_tris"]
+    return (nodes.size + tris.size) * 4 <= MAX_BVH_TABLE_BYTES
 
 
 def _use_pallas() -> bool:
@@ -139,7 +152,7 @@ def intersect(scene, o, d, t_near=None, t_far=None, n_live=None) -> Intersection
     if (
         _use_pallas()
         and _kernel_choice() == "bvh"
-        and scene.bvh_n_nodes > 0
+        and _bvh_fits(scene)
     ):
         from ..ops.pallas.bvh_traverse import bvh_closest_hit
 
@@ -269,7 +282,7 @@ def occluded(scene, o, d, t_max, n_live=None) -> jnp.ndarray:
     if (
         _use_pallas()
         and _kernel_choice() == "bvh"
-        and scene.bvh_n_nodes > 0
+        and _bvh_fits(scene)
     ):
         from ..ops.pallas.bvh_traverse import bvh_any_hit
 

@@ -70,6 +70,9 @@ class RepeatConfig:
     total_simulations: int = 2
     initial_seed: int = 0
     out_root: str = "debug"
+    # metric-row cadence: the reference records a row EVERY pass
+    # (repeat_high_spp_renderer.py:149-163); raise to thin the CSVs
+    record_every: int = 1
 
 
 def scene_path(name: str) -> Path:

@@ -45,7 +45,7 @@ def do_full_simulation(cfg: RepeatConfig, scene, gt, sim_index: int):
                 print_bold_underline(f"missing tree {tree_file}; stopping")
                 break
             integ.loadSDTreeFromFile(tree_file)
-        integ.setIteration(iteration if iteration > 0 else 0, True)
+        integ.setIteration(iteration, True)
         integ.resetVarianceCounter()
 
         t0 = time.perf_counter()
@@ -53,7 +53,7 @@ def do_full_simulation(cfg: RepeatConfig, scene, gt, sim_index: int):
         for p in range(cfg.iter_spp):
             integ.render_pass(cfg.initial_seed + sim_index * 131071, p)
             spp = p + 1
-            if (p + 1) % 64 == 0 or p == cfg.iter_spp - 1:
+            if (p + 1) % cfg.record_every == 0 or p == cfg.iter_spp - 1:
                 elapse = time.perf_counter() - t0 + cumm_time
                 variance_rec.append(
                     time=elapse, spp=spp,
@@ -121,6 +121,10 @@ if __name__ == "__main__":
     ap.add_argument("--iterations", type=int, default=10)
     ap.add_argument("--spp", type=int, default=1024)
     ap.add_argument("--sims", type=int, default=2)
+    ap.add_argument(
+        "--record-every", type=int, default=1,
+        help="metric-row cadence in passes (reference: every pass)",
+    )
     ap.add_argument("--out", default="debug", help="output root directory")
     ap.add_argument("--resx", type=int, default=None)
     ap.add_argument("--resy", type=int, default=None)
@@ -131,6 +135,7 @@ if __name__ == "__main__":
             iterations=args.iterations,
             iter_spp=args.spp,
             total_simulations=args.sims,
+            record_every=args.record_every,
             out_root=args.out or "debug",
             scene_overrides={
                 k: v

@@ -56,6 +56,13 @@ def load():
             lib.kd_refine.restype = ctypes.c_int
             lib.quad_refine.restype = ctypes.c_int
             lib.quad_compact.restype = ctypes.c_int
+            if hasattr(lib, "build_alias"):
+                lib.build_alias.restype = ctypes.c_int
+                lib.build_alias.argtypes = [
+                    ctypes.c_void_p, _i64,
+                    ctypes.c_void_p, ctypes.c_void_p,
+                    ctypes.c_void_p, ctypes.c_void_p,
+                ]
             _lib = lib
         except Exception as e:
             # No silent degradation: the Python fallback walks hundreds of
@@ -167,12 +174,13 @@ def build_alias(leaf_cdf, n_roots, root_leaf_off, root_leaf_cnt):
     cap = len(leaf_cdf)
     alias_prob = np.ones(cap, np.float32)
     alias_other = np.zeros(cap, np.int32)
-    lib.build_alias.restype = ctypes.c_int
-    lib.build_alias(
+    rc = lib.build_alias(
         _ptr(leaf_cdf, np.float32), _i64(n_roots),
         _ptr(root_leaf_off, np.int32), _ptr(root_leaf_cnt, np.int32),
         _ptr(alias_prob, np.float32), _ptr(alias_other, np.int32),
     )
+    if rc != 0:
+        return None
     return alias_prob, alias_other
 
 

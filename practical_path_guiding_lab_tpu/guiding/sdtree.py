@@ -96,6 +96,9 @@ class SDTreeDevice:
     quad_max_depth: int = struct.field(pytree_node=False, default=20)
     grid_l: int = struct.field(pytree_node=False, default=GRID_L)
     kd_grid_bits: tuple = struct.field(pytree_node=False, default=(7, 7, 6))
+    # isStoreNEERadiance: gate for the NEE irradiance splat stream
+    # (reference quadtree.py:455-464); static so the splat specializes
+    store_nee: bool = struct.field(pytree_node=False, default=True)
 
 
 def kd_lookup(tree: SDTreeDevice, p):
@@ -389,6 +392,10 @@ def splat(tree: SDTreeDevice, p, xy, value, weight, nee_xy=None, nee_value=None,
         p = p + (jitter_u - 0.5) * ext[..., 0:3]
     kd_leaf, slot, _srow = kd_lookup_grid(tree, p)
     kd_acc = tree.kd_vert_acc.at[kd_leaf].add(jnp.where(mask, weight, 0.0))
+    if not tree.store_nee:
+        # isStoreNEERadiance off: only the path-irradiance stream is
+        # splatted (reference quadtree.py:455-464 gates the NEE block)
+        nee_xy = None
     if nee_xy is not None:
         # path + NEE directions share one batched leaf location
         q_leaf2 = quad_leaf_lookup_fast2(
@@ -685,6 +692,7 @@ class SDTree:
             quad_max_depth=self.quad_max_depth,
             grid_l=GRID_L,
             kd_grid_bits=fast2["kd_grid_bits"],
+            store_nee=bool(self.store_nee),
         )
 
     @property

@@ -83,6 +83,9 @@ def build_bvh_tables(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray):
             tris[base + k, 0:3] = v0[orig]
             tris[base + k, 3:6] = v1[orig] - v0[orig]
             tris[base + k, 6:9] = v2[orig] - v0[orig]
+            # original triangle id as an exact small-int float: the fused
+            # kernel returns it directly (no bvh_map gather in the epilogue)
+            tris[base + k, 9] = float(orig)
             slot_map[base + k] = orig
 
     npad = -(-n // 8) * 8

@@ -71,18 +71,21 @@ def render_pass_sharded(scene, mesh: Mesh, seed0: int, pass_index: int):
 def guided_pass_sharded(
     scene, tree_dev, mesh: Mesh, seed0: int, pass_index: int, iteration,
     record: bool = True, bsdf_fraction: float = 0.5,
+    sum_l=None, sum_l2=None,
 ):
     """One FULL guided pass sharded over the mesh: each device traces its
     pixel slice; when ``record`` is on (training iterations) it also
     reconstructs and splats its records locally, then the SD-tree leaf
     histograms are all-reduced with psum over ICI (the only cross-device
-    traffic the algorithm needs, SURVEY.md section 2.3). Per-pass film
-    moments (sum L, sum L^2 over the device's lanes) are also psum'd so the
-    driver's variance/stop-training logic sees global scalars
-    (reference path_guiding_integrator.py:404-426).
+    traffic the algorithm needs, SURVEY.md section 2.3). Per-pixel film
+    moments (sumL, sumL2 — reference path_guiding_integrator.py:404-426)
+    are accumulated DEVICE-LOCALLY inside the sharded step: each device
+    owns its film rows' moment buffers; only the stop-training scalars are
+    ever reduced (variance_scalars_sharded), so no full-film gather is
+    needed for the training logic on a multi-host mesh.
 
     Returns (L (N,3) in film order, px, py, rays_cast, updated tree or
-    None, (momL, momL2) global (3,) film-moment sums)."""
+    None, (sum_l, sum_l2) updated per-pixel moment buffers, dp-sharded)."""
     from ..render.guided import process_and_splat, render_guided_wavefront
 
     w, h = scene.camera.width, scene.camera.height
@@ -97,14 +100,20 @@ def guided_pass_sharded(
     u1, u2 = rng.uniform2(seed0, pass_index, 0, rng.PurposeId.CAMERA, lane_ids)
     px = xx.reshape(-1) + u1
     py = yy.reshape(-1) + u2
+    if sum_l is None:
+        sum_l = jnp.zeros((w * h, 3))
+    if sum_l2 is None:
+        sum_l2 = jnp.zeros((w * h, 3))
 
-    def shard_fn(tree, lane_s, px_s, py_s):
+    def shard_fn(tree, lane_s, px_s, py_s, sl_s, sl2_s):
         L, rays, recs = render_guided_wavefront(
             scene, tree, seed0, pass_index, lane_s, px_s, py_s, iteration,
             record=record, bsdf_fraction=bsdf_fraction,
         )
         if record:
-            tree2 = process_and_splat(tree, recs, L, seed0, pass_index)
+            tree2 = process_and_splat(
+                tree, recs, L, seed0, pass_index, lane_offset=lane_s[0]
+            )
             # all-reduce the splat histograms over ICI
             tree2 = tree2.replace(
                 kd_vert_acc=jax.lax.psum(tree2.kd_vert_acc, "dp"),
@@ -113,19 +122,82 @@ def guided_pass_sharded(
         else:
             tree2 = tree
         rays = jax.lax.psum(rays, "dp")
-        momL = jax.lax.psum(jnp.sum(L, axis=0), "dp")
-        momL2 = jax.lax.psum(jnp.sum(L * L, axis=0), "dp")
-        return L, rays, tree2, momL, momL2
+        # L is in film order within the shard (1 lane per pixel row), so
+        # the per-pixel moment update is elementwise and device-local
+        sl_s = sl_s + L
+        sl2_s = sl2_s + L * L
+        return L, rays, tree2, sl_s, sl2_s
 
     fn = jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(), P("dp"), P("dp"), P("dp")),
-        out_specs=(P("dp"), P(), P(), P(), P()),
+        in_specs=(P(), P("dp"), P("dp"), P("dp"), P("dp"), P("dp")),
+        out_specs=(P("dp"), P(), P(), P("dp"), P("dp")),
         check_vma=False,
     )
-    L, rays, tree2, momL, momL2 = fn(tree_dev, lane_ids, px, py)
-    return L, px, py, rays, (tree2 if record else None), (momL, momL2)
+    L, rays, tree2, sum_l, sum_l2 = fn(
+        tree_dev, lane_ids, px, py, sum_l, sum_l2
+    )
+    return L, px, py, rays, (tree2 if record else None), (sum_l, sum_l2)
+
+
+# --------------------------------------------------------------------------- #
+# Stop-training scalars from device-local moments (SURVEY.md section 2.3(b)):
+# per-pixel math runs on each device's film slice; ONLY the scalar
+# numerator/denominator cross devices (psum over ICI).
+# --------------------------------------------------------------------------- #
+
+
+def _scalar_reduction(mesh: Mesh, local_fn, *arrays):
+    def f(*xs):
+        v = local_fn(*xs)  # per-pixel values, shape (n_local,)
+        s = jax.lax.psum(jnp.sum(v), "dp")
+        c = jax.lax.psum(jnp.float32(v.shape[0]), "dp")
+        return s / c
+
+    fn = jax.shard_map(
+        f, mesh=mesh, in_specs=tuple(P("dp") for _ in arrays),
+        out_specs=P(), check_vma=False,
+    )
+    return float(fn(*arrays))
+
+
+def variance_self_sharded(mesh, sum_l, sum_l2, spp):
+    """compute_variance_self via psum'd scalars (no film gather)."""
+    from ..core.math import luminance
+    from ..render.variance import CLAMP
+
+    def local(a, b):
+        mean = luminance(a) / spp
+        mean2 = luminance(b) / spp
+        var = (mean2 - mean * mean) / max(spp - 1.0, 1.0)
+        return jnp.minimum(jnp.maximum(var, 0.0), CLAMP)
+
+    return _scalar_reduction(mesh, local, sum_l, sum_l2)
+
+
+def variance_gt_sharded(mesh, sum_l2, spp, gt):
+    from ..core.math import luminance
+    from ..render.variance import CLAMP
+
+    def local(b, g):
+        mean2 = luminance(b) / spp
+        gl = luminance(g)
+        var = (mean2 - gl * gl) / spp
+        return jnp.minimum(jnp.maximum(var, 0.0), CLAMP)
+
+    return _scalar_reduction(mesh, local, sum_l2, jnp.asarray(gt))
+
+
+def mse_sharded(mesh, sum_l, spp, gt):
+    from ..core.math import luminance
+    from ..render.variance import CLAMP
+
+    def local(a, g):
+        diff2 = (luminance(a / spp) - luminance(g)) ** 2
+        return jnp.minimum(diff2, CLAMP)
+
+    return _scalar_reduction(mesh, local, sum_l, jnp.asarray(gt))
 
 
 def guided_train_step_sharded(

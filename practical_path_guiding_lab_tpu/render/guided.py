@@ -39,6 +39,35 @@ def adaptive_fraction_enabled() -> bool:
     return os.environ.get("PPG_ADAPTIVE_FRACTION", "1") == "1"
 
 
+_policy_logged = False
+
+
+def log_fraction_policy():
+    """One line per process stating the active mixture-fraction policy, so
+    A/B comparisons against the reference can't silently run with a
+    non-reference default."""
+    global _policy_logged
+    if _policy_logged:
+        return
+    _policy_logged = True
+    import os
+    import sys
+
+    if adaptive_fraction_enabled():
+        pol = os.environ.get("PPG_FRAC_POLICY", "hsq")
+        print(
+            "[guided] adaptive per-lane bsdfSamplingFraction ON "
+            f"(PPG_FRAC_POLICY={pol}); set PPG_ADAPTIVE_FRACTION=0 for the "
+            "reference's constant fraction (path_guiding_integrator.py:223)",
+            file=sys.stderr,
+        )
+    else:
+        print(
+            "[guided] constant bsdfSamplingFraction (reference semantics)",
+            file=sys.stderr,
+        )
+
+
 def _init_state(scene, px, py, lane_ids, record: bool):
     n_rays = px.shape[0]
     sx = px / scene.camera.width
@@ -350,11 +379,13 @@ def splat_filter_enabled() -> bool:
 
 
 def process_and_splat(tree_current: sd.SDTreeDevice, recs: PathRecords, L_final,
-                      seed0=0, pass_index=0):
+                      seed0=0, pass_index=0, lane_offset=0):
     """Reconstruct per-vertex incident radiance and splat into the current
     tree (reference processPathData + scatterDataIntoSDTree + addDataPropagate).
     Returns the updated tree. ``L_final`` must be in FILM order (the record
-    rows carry original sample indices)."""
+    rows carry original sample indices). ``lane_offset``: global id of this
+    shard's first lane, so sharded splat jitter draws independent streams
+    per device."""
     d, n = recs.wo_pdf.shape
     Lv = L_final[jnp.maximum(recs.lane, 0)]  # (D, N, 3) gather by sample row
     outgoing = nan_to_zero(
@@ -379,7 +410,8 @@ def process_and_splat(tree_current: sd.SDTreeDevice, recs: PathRecords, L_final,
     flat = lambda a: a.reshape((n * d,) + a.shape[2:])
     jitter_u = None
     if splat_filter_enabled():
-        v_ids = jnp.arange(n * d, dtype=jnp.int32)
+        # key the jitter stream on GLOBAL vertex ids (shard base + local)
+        v_ids = lane_offset * d + jnp.arange(n * d, dtype=jnp.int32)
         j0, j1 = rng.uniform2(
             seed0, pass_index, 0, rng.PurposeId.SPLAT_JITTER, v_ids
         )

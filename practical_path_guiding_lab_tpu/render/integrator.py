@@ -66,6 +66,9 @@ def _stepped_backend() -> bool:
 
 class PathGuidingIntegrator:
     def __init__(self, scene, bsdf_sampling_fraction=0.5):
+        from .guided import log_fraction_policy
+
+        log_fraction_policy()
         self.scene = scene
         self.bsdf_sampling_fraction = bsdf_sampling_fraction
         self.iteration = 0
@@ -136,13 +139,22 @@ class PathGuidingIntegrator:
         if self.mesh is not None:
             from ..parallel.sharding import guided_pass_sharded
 
-            L, px, py, rays, tree2, _moms = guided_pass_sharded(
-                self.scene, self.dev_tree, self.mesh, seed0, cumm_spp,
-                self.iteration, record=not self.is_final,
-                bsdf_fraction=self.bsdf_sampling_fraction,
+            # per-pixel film moments accumulate device-locally inside the
+            # sharded step; the stop-training scalars come from psum
+            # reductions (computeVariance/computeMSE below) — no full-film
+            # gather on the training path (SURVEY.md section 2.3(b))
+            L, px, py, rays, tree2, (self.sum_l, self.sum_l2) = (
+                guided_pass_sharded(
+                    self.scene, self.dev_tree, self.mesh, seed0, cumm_spp,
+                    self.iteration, record=not self.is_final,
+                    bsdf_fraction=self.bsdf_sampling_fraction,
+                    sum_l=self.sum_l, sum_l2=self.sum_l2,
+                )
             )
             if tree2 is not None:
                 self.dev_tree = tree2
+            img = develop_pass_image(self.scene, L, px, py)
+            return img, float(rays)
         elif self._stepped:
             L, px, py, rays, dev = render_guided_pass_stepped(
                 self.scene, self.dev_tree, self.dev_tree, seed0, cumm_spp,
@@ -166,6 +178,17 @@ class PathGuidingIntegrator:
     # ------------------------------------------------------------------ #
 
     def computeVariance(self, spp, ground_truth=None):
+        mesh = getattr(self, "mesh", None)
+        if mesh is not None:
+            from ..parallel import sharding as sh
+
+            if ground_truth is None:
+                return sh.variance_self_sharded(
+                    mesh, self.sum_l, self.sum_l2, spp
+                )
+            return sh.variance_gt_sharded(
+                mesh, self.sum_l2, spp, ground_truth.reshape(-1, 3)
+            )
         if ground_truth is None:
             return float(var_mod.compute_variance_self(self.sum_l, self.sum_l2, spp))
         gt = ground_truth.reshape(-1, 3)
@@ -175,6 +198,11 @@ class PathGuidingIntegrator:
 
     def computeMSE(self, spp, ground_truth):
         gt = ground_truth.reshape(-1, 3)
+        mesh = getattr(self, "mesh", None)
+        if mesh is not None:
+            from ..parallel import sharding as sh
+
+            return sh.mse_sharded(mesh, self.sum_l, spp, gt)
         return float(var_mod.compute_mse(self.sum_l, spp, gt))
 
     # ------------------------------------------------------------------ #

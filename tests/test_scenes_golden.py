@@ -23,6 +23,20 @@ SCENES = "/root/reference/scenes"
 lum = lambda x: x @ np.array([0.212671, 0.71516, 0.072169])
 
 
+def _rr_windows(reference_window, unbiased_window=(0.90, 1.08)):
+    """Brightness windows are parameterized on the RR semantics (PPG_RR):
+    the default 'reference' mode kills at q without the 1/q survivor
+    reweight (exactly what the reference computes — its 1/q lands on a
+    dead temporary, path_guiding_integrator.py:372-378), which darkens
+    deep transport by ~5-10%. The reference-mode window's upper bound
+    therefore INTENTIONALLY excludes 1.0; unbiased mode (PPG_RR=unbiased)
+    gets a window around 1.0 instead.
+    """
+    from practical_path_guiding_lab_tpu.render.path_tracer import rr_mode
+
+    return reference_window if rr_mode() == "reference" else unbiased_window
+
+
 def _render(name, fn, rx, ry, spp):
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
@@ -54,7 +68,8 @@ def test_veach_mis_golden():
     sized so a ~10%-off render fails."""
     img, gt = _render("veach-mis", "scene.xml", 160, 90, 16)
     ratio, corr = _stats(img, gt)
-    assert 0.86 < ratio < 0.97, f"brightness ratio {ratio}"
+    lo, hi = _rr_windows((0.86, 0.97))
+    assert lo < ratio < hi, f"brightness ratio {ratio}"
     assert corr > 0.98, f"correlation {corr}"
 
 
@@ -64,14 +79,17 @@ def test_teapot_v3_golden():
     teapot meshes are unfetched blobs, so only brightness is checked."""
     img, gt = _render("teapot", "scene_v3.xml", 80, 45, 16)
     ratio, corr = _stats(img, gt)
-    assert 0.84 < ratio < 0.97, f"brightness ratio {ratio}"  # measured 0.902
+    lo, hi = _rr_windows((0.84, 0.97))  # measured 0.902 (reference RR)
+    assert lo < ratio < hi, f"brightness ratio {ratio}"
 
 
 def test_veach_bidir_golden():
     """OBJ meshes + dielectric + hard indirect (lamp) transport."""
     img, gt = _render("veach-bidir", "scene.xml", 64, 64, 16)
     ratio, corr = _stats(img, gt)
-    assert 0.96 < ratio < 1.11, f"brightness ratio {ratio}"  # measured 1.034
+    # bidir's dominant transport ends before rr_depth, so RR bias is small
+    lo, hi = _rr_windows((0.96, 1.11), (0.96, 1.13))  # measured 1.034
+    assert lo < ratio < hi, f"brightness ratio {ratio}"
     assert corr > 0.87, f"correlation {corr}"  # measured 0.915
 
 
@@ -81,7 +99,8 @@ def test_veach_ajar_golden():
     without them.)"""
     img, gt = _render("veach-ajar", "scene.xml", 80, 45, 16)
     ratio, corr = _stats(img, gt)
-    assert 0.85 < ratio < 0.97, f"brightness ratio {ratio}"  # measured 0.911
+    lo, hi = _rr_windows((0.85, 0.97))  # measured 0.911 (reference RR)
+    assert lo < ratio < hi, f"brightness ratio {ratio}"
     assert corr > 0.70, f"correlation {corr}"  # measured 0.756
 
 

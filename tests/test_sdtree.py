@@ -383,3 +383,34 @@ def test_fast2_paths_match_descent(rng_np):
     assert ((h_fast >= 0) & (h_fast <= 1)).all()
     assert np.abs(h_fast - h_ref).mean() < 0.08
     assert np.abs(h_fast - h_ref).max() < 0.35
+
+
+def test_store_nee_gates_nee_splat():
+    """isStoreNEERadiance=False trees receive only the path-irradiance
+    stream (reference quadtree.py:455-464 gates the NEE block); the
+    toggle must change the splat totals (round-2 verdict item 6)."""
+    rng = np.random.default_rng(7)
+    n = 5000
+    p = jnp.asarray(rng.random((n, 3)), jnp.float32)
+    xy = jnp.asarray(rng.random((n, 2)), jnp.float32)
+    nee_xy = jnp.asarray(rng.random((n, 2)), jnp.float32)
+    val = jnp.asarray(rng.random(n), jnp.float32)
+    nee_val = jnp.asarray(rng.random(n), jnp.float32)
+    w = jnp.ones(n, jnp.float32)
+
+    t_on = _make_tree(store_nee=True)
+    dev = sd.splat(t_on.to_device(), p, xy, val, w,
+                   nee_xy=nee_xy, nee_value=nee_val)
+    t_on.absorb_accumulators(dev)
+
+    t_off = _make_tree(store_nee=False)
+    dev_off = sd.splat(t_off.to_device(), p, xy, val, w,
+                       nee_xy=nee_xy, nee_value=nee_val)
+    t_off.absorb_accumulators(dev_off)
+
+    total_path = float(np.sum(np.asarray(val)))
+    total_nee = float(np.sum(np.asarray(nee_val)))
+    assert abs(t_off.q_irr[0] - total_path) < 1e-2 * total_path
+    assert abs(t_on.q_irr[0] - (total_path + total_nee)) < 1e-2 * (
+        total_path + total_nee
+    )

@@ -60,7 +60,7 @@ def test_guided_train_step_sharded_matches_single(cornell_small):
     )
     # sharded step from the SAME starting tree
     mesh = make_mesh(8)
-    L8, px8, py8, rays8, tree8, (momL, momL2) = guided_pass_sharded(
+    L8, px8, py8, rays8, tree8, (sum_l, sum_l2) = guided_pass_sharded(
         scene, tree, mesh, 7, 5, iteration=3, record=True
     )
     assert np.allclose(np.asarray(L8), np.asarray(L1), atol=1e-5)
@@ -74,14 +74,30 @@ def test_guided_train_step_sharded_matches_single(cornell_small):
         np.asarray(tree8.q_irr_acc), np.asarray(tree1.q_irr_acc),
         rtol=1e-4, atol=1e-3,
     )
-    # psum'd film moments match the host-side sums
+    # device-local per-pixel film moments equal the host-side ones
+    assert np.allclose(np.asarray(sum_l), np.asarray(L1), atol=1e-5)
     assert np.allclose(
-        np.asarray(momL), np.asarray(L1).sum(axis=0), rtol=1e-5, atol=1e-4
+        np.asarray(sum_l2), np.asarray(L1) ** 2, rtol=1e-5, atol=1e-5
     )
-    assert np.allclose(
-        np.asarray(momL2), (np.asarray(L1) ** 2).sum(axis=0),
-        rtol=1e-4, atol=1e-3,
+    # stop-training scalars via psum reductions == single-device formulas
+    from practical_path_guiding_lab_tpu.parallel.sharding import (
+        mse_sharded,
+        variance_gt_sharded,
+        variance_self_sharded,
     )
+    from practical_path_guiding_lab_tpu.render import variance as var_mod
+
+    spp = 2.0
+    v_sh = variance_self_sharded(mesh, sum_l, sum_l2, spp)
+    v_ref = float(var_mod.compute_variance_self(sum_l, sum_l2, spp))
+    assert abs(v_sh - v_ref) < 1e-6 + 1e-4 * abs(v_ref)
+    gt = np.asarray(L1)
+    vg_sh = variance_gt_sharded(mesh, sum_l2, spp, gt)
+    vg_ref = float(var_mod.compute_variance_gt(sum_l, sum_l2, spp, gt))
+    assert abs(vg_sh - vg_ref) < 1e-6 + 1e-4 * abs(vg_ref)
+    m_sh = mse_sharded(mesh, sum_l, spp, gt)
+    m_ref = float(var_mod.compute_mse(sum_l, spp, gt))
+    assert abs(m_sh - m_ref) < 1e-6 + 1e-4 * abs(m_ref)
     # final-iteration (record off) path also runs sharded
     Lf, _, _, _, tree_none, _ = guided_pass_sharded(
         scene, tree, mesh, 7, 6, iteration=3, record=False
@@ -107,6 +123,18 @@ def test_train_driver_mesh(tmp_path):
     )
     assert out["cumm_spp"] == 12
     assert np.isfinite(out["mse"])
+    # the mesh-mode driver (psum'd moment scalars) must reproduce the
+    # single-device driver's metrics (lane-keyed RNG -> same samples)
+    out1 = train(
+        TrainConfig(
+            scene="cornell-box-empty",
+            budget_spp=12,
+            scene_overrides={"resx": 32, "resy": 32},
+            out_root=str(tmp_path / "single"),
+            mesh_devices=0,
+        )
+    )
+    assert np.isclose(out["mse"], out1["mse"], rtol=1e-4, atol=1e-7)
 
 
 def test_graft_entry_dryrun():
