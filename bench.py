@@ -1,9 +1,14 @@
 """Benchmark harness: Mrays/sec/chip on veach-ajar (BASELINE.json metric).
 
-Renders the flagship scene with the unguided-or-guided wavefront integrator
-on the available accelerator and prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "Mrays/s", "vs_baseline": N}
-vs_baseline is value / 100 (the BASELINE.json north-star of 100 Mrays/s/chip).
+Prints ONE JSON line. Headline value = median unguided-PT throughput
+(comparable across rounds); the same line carries the guided-pass numbers
+(train = record+splat, final = record-off) because the guided integrator
+is the flagship workload (reference main.py), plus per-pass spread so the
+number's noise floor is visible (round-2 verdict items 3 & 8).
+
+Protocol per docs/PERF_NOTES.md: force a device->host fetch before timing
+(the axon backend is lazy until the first D2H), then time whole passes
+with a block_until_ready at each pass end.
 """
 from __future__ import annotations
 
@@ -13,41 +18,104 @@ import warnings
 
 warnings.simplefilter("ignore")
 
-import jax
 import numpy as np
+import jax
+
+
+def _stats(ts):
+    ts = np.asarray(ts)
+    return {
+        "passes": int(len(ts)),
+        "s_median": round(float(np.median(ts)), 4),
+        "s_min": round(float(ts.min()), 4),
+        "s_max": round(float(ts.max()), 4),
+    }
+
+
+def bench_pt(scene, n_passes=16):
+    from practical_path_guiding_lab_tpu.render.path_tracer import render_pass
+
+    fn = jax.jit(render_pass, static_argnums=(3,))
+    L, _, _, rays = fn(scene, 0, 0, True)
+    rays = float(rays)  # compile + first D2H fetch (defeats laziness)
+    ts = []
+    for p in range(1, n_passes + 1):
+        t0 = time.perf_counter()
+        L, _, _, r = fn(scene, 0, p, True)
+        jax.block_until_ready(L)
+        ts.append(time.perf_counter() - t0)
+    med = float(np.median(ts))
+    return {**_stats(ts), "mrays_median": round(rays / med / 1e6, 3)}, rays
+
+
+def bench_guided(scene, n_timed=6):
+    """Guided-pass throughput with a real (trained+refined) tree: train
+    iterations 1..2 to grow structure, then time iteration-3 train passes
+    (record + splat) and final-render passes (record off)."""
+    from practical_path_guiding_lab_tpu.render.integrator import (
+        PathGuidingIntegrator,
+    )
+
+    integ = PathGuidingIntegrator(scene)
+    integ.setup()
+    spp = 0
+    for iteration, passes in ((1, 4), (2, 8)):
+        integ.setIteration(iteration, False)
+        for p in range(passes):
+            integ.render_pass(0, spp)
+            spp += 1
+        integ.refineAndPrepareSDTreeForNextIteration()
+
+    integ.setIteration(3, False)
+    _, rays_train = integ.render_pass(0, spp)  # warm/compile
+    spp += 1
+    ts = []
+    for _ in range(n_timed):
+        t0 = time.perf_counter()
+        _, r = integ.render_pass(0, spp)
+        spp += 1
+        ts.append(time.perf_counter() - t0)
+    train = {**_stats(ts), "mrays_median": round(
+        rays_train / float(np.median(ts)) / 1e6, 3)}
+
+    integ.setIteration(3, True)
+    _, rays_final = integ.render_pass(0, spp)
+    spp += 1
+    ts = []
+    for _ in range(n_timed):
+        t0 = time.perf_counter()
+        _, r = integ.render_pass(0, spp)
+        spp += 1
+        ts.append(time.perf_counter() - t0)
+    final = {**_stats(ts), "mrays_median": round(
+        rays_final / float(np.median(ts)) / 1e6, 3)}
+    return train, final
 
 
 def main():
     from practical_path_guiding_lab_tpu.scene import load_file
     from practical_path_guiding_lab_tpu.scene.scene import compile_scene
-    from practical_path_guiding_lab_tpu.render.path_tracer import render_pass
 
     scene_path = "/root/reference/scenes/veach-ajar/scene.xml"
     desc = load_file(scene_path, resx=1280, resy=720)
     scene = compile_scene(desc)
 
-    fn = jax.jit(render_pass, static_argnums=(3,))
-    # warmup / compile
-    L, _, _, rays = fn(scene, 0, 0, True)
-    L.block_until_ready()
-
-    n_passes = 4
-    t0 = time.perf_counter()
-    total_rays = 0.0
-    for p in range(1, n_passes + 1):
-        L, _, _, rays = fn(scene, 0, p, True)
-        L.block_until_ready()
-        total_rays += float(rays)
-    dt = time.perf_counter() - t0
-    mrays = total_rays / dt / 1e6
+    pt, _ = bench_pt(scene)
+    train, final = bench_guided(scene)
 
     print(
         json.dumps(
             {
                 "metric": "veach-ajar Mrays/sec/chip (wavefront PT, 1280x720)",
-                "value": round(mrays, 3),
+                "value": pt["mrays_median"],
                 "unit": "Mrays/s",
-                "vs_baseline": round(mrays / 100.0, 4),
+                "vs_baseline": round(pt["mrays_median"] / 100.0, 4),
+                "pt": pt,
+                "guided_train": train,
+                "guided_final": final,
+                "guided_train_vs_pt_s": round(
+                    train["s_median"] / pt["s_median"], 3
+                ),
             }
         )
     )

@@ -33,7 +33,9 @@ def _bvh_fits(scene) -> bool:
         return False
     nodes = scene.tris["bvh_nodes"]
     tris = scene.tris["bvh_tris"]
-    return (nodes.size + tris.size) * 4 <= MAX_BVH_TABLE_BYTES
+    attrs = scene.tris.get("bvh_attr")
+    total = nodes.size + tris.size + (attrs.size if attrs is not None else 0)
+    return total * 4 <= MAX_BVH_TABLE_BYTES
 
 
 def _use_pallas() -> bool:
@@ -153,6 +155,29 @@ def intersect(scene, o, d, t_near=None, t_far=None, n_live=None) -> Intersection
         _use_pallas()
         and _kernel_choice() == "bvh"
         and _bvh_fits(scene)
+        and "bvh_attr" in scene.tris
+    ):
+        # fused kernel: closest hit AND shading attributes resolved
+        # in-kernel — no per-bounce XLA gather epilogue (round-3 lever 1)
+        from ..ops.pallas.bvh_traverse import bvh_closest_hit_attrs
+
+        res = bvh_closest_hit_attrs(
+            scene.tris["bvh_nodes"], scene.tris["bvh_tris"],
+            scene.tris["bvh_attr"], o, d, t_near,
+            jnp.where(jnp.isfinite(t_far), t_far, 1e30),
+            scene.bvh_n_nodes, scene.bvh_n_leaves, n_live=n_live,
+        )
+        ti = res["id"]
+        tt = jnp.where(ti >= 0, res["t"], jnp.inf)
+        return _finish_intersection(
+            scene, o, d, tt, ti,
+            normalize(res["ns"]), normalize(res["ng"]), res["uv"],
+            res["mat"], res["em"], t_near, t_far,
+        )
+    if (
+        _use_pallas()
+        and _kernel_choice() == "bvh"
+        and _bvh_fits(scene)
     ):
         from ..ops.pallas.bvh_traverse import bvh_closest_hit
 
@@ -195,12 +220,6 @@ def intersect(scene, o, d, t_near=None, t_far=None, n_live=None) -> Intersection
             tt = jnp.where(ti >= 0, tt, jnp.inf)
     else:
         tt, ti, tu, tv = _scan_triangles(o, d, scene.tris, t_near, t_far)
-    st, si = _intersect_spheres(o, d, scene.spheres, t_near, t_far)
-
-    sphere_closer = st < tt
-    t = jnp.where(sphere_closer, st, tt)
-    valid = jnp.isfinite(t) & ((ti >= 0) | (si >= 0))
-    t = jnp.where(valid, t, jnp.inf)
 
     # triangle attributes: ONE packed row gather (scene.py "attr" layout)
     tid = jnp.maximum(ti, 0)
@@ -220,38 +239,54 @@ def intersect(scene, o, d, t_near=None, t_far=None, n_live=None) -> Intersection
     ng_tri = normalize(row[:, 9:12])
     mat_tri = row[:, 18].astype(jnp.int32)
     em_tri = row[:, 19].astype(jnp.int32)
-
-    # sphere attributes
-    sid = jnp.maximum(si, 0)
-    p_hit = o + d * jnp.where(jnp.isfinite(t), t, 0.0)[:, None]
-    c = (
-        scene.spheres["center"][sid]
-        if scene.spheres["center"].shape[0] > 0
-        else jnp.zeros_like(p_hit)
+    return _finish_intersection(
+        scene, o, d, tt, ti, ns_tri, ng_tri, uv_tri, mat_tri, em_tri,
+        t_near, t_far,
     )
-    n_sph = normalize(p_hit - c)
-    if scene.spheres["center"].shape[0] > 0:
+
+
+def _finish_intersection(scene, o, d, tt, ti, ns_tri, ng_tri, uv_tri,
+                         mat_tri, em_tri, t_near, t_far) -> Intersection:
+    """Merge triangle hit + attributes with analytic spheres, face-forward
+    the normals, and assemble the Intersection record. Scenes without
+    spheres (the common case) statically skip all sphere work."""
+    n = o.shape[0]
+    has_spheres = scene.spheres["center"].shape[0] > 0
+    if has_spheres:
+        st, si = _intersect_spheres(o, d, scene.spheres, t_near, t_far)
+        sphere_closer = st < tt
+        t = jnp.where(sphere_closer, st, tt)
+        valid = jnp.isfinite(t) & ((ti >= 0) | (si >= 0))
+    else:
+        t = tt
+        valid = jnp.isfinite(t) & (ti >= 0)
+    t = jnp.where(valid, t, jnp.inf)
+    p_hit = o + d * jnp.where(jnp.isfinite(t), t, 0.0)[:, None]
+    tid = jnp.maximum(ti, 0)
+
+    if has_spheres:
+        sid = jnp.maximum(si, 0)
+        c = scene.spheres["center"][sid]
+        n_sph = normalize(p_hit - c)
         mat_sph = scene.spheres["mat"][sid]
         em_sph = scene.spheres["emitter"][sid]
+        use_sph = sphere_closer & (si >= 0)
+        ng = jnp.where(use_sph[:, None], n_sph, ng_tri)
+        ns = jnp.where(use_sph[:, None], n_sph, ns_tri)
+        # sphere uv: spherical coords
+        uv_sph = jnp.stack(
+            [
+                jnp.arctan2(n_sph[:, 1], n_sph[:, 0]) / (2 * jnp.pi) + 0.5,
+                jnp.arccos(jnp.clip(n_sph[:, 2], -1, 1)) / jnp.pi,
+            ],
+            axis=-1,
+        )
+        uv = jnp.where(use_sph[:, None], uv_sph, uv_tri)
+        mat = jnp.where(use_sph, mat_sph, mat_tri)
+        em = jnp.where(use_sph, em_sph, em_tri)
+        prim = jnp.where(use_sph, scene.tris["v0"].shape[0] + sid, tid)
     else:
-        mat_sph = jnp.zeros((n,), jnp.int32)
-        em_sph = jnp.full((n,), -1, jnp.int32)
-
-    use_sph = sphere_closer & (si >= 0)
-    ng = jnp.where(use_sph[:, None], n_sph, ng_tri)
-    ns = jnp.where(use_sph[:, None], n_sph, ns_tri)
-    # sphere uv: spherical coords
-    uv_sph = jnp.stack(
-        [
-            jnp.arctan2(n_sph[:, 1], n_sph[:, 0]) / (2 * jnp.pi) + 0.5,
-            jnp.arccos(jnp.clip(n_sph[:, 2], -1, 1)) / jnp.pi,
-        ],
-        axis=-1,
-    )
-    uv = jnp.where(use_sph[:, None], uv_sph, uv_tri)
-    mat = jnp.where(use_sph, mat_sph, mat_tri)
-    em = jnp.where(use_sph, em_sph, em_tri)
-    prim = jnp.where(use_sph, scene.tris["v0"].shape[0] + sid, tid)
+        ng, ns, uv, mat, em, prim = ng_tri, ns_tri, uv_tri, mat_tri, em_tri, tid
 
     wi = -d
     # face-forward both normals toward the incident side

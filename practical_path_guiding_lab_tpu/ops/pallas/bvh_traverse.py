@@ -201,6 +201,118 @@ def _bvh_closest_kernel(n_live_ref, node_ref, tri_ref, ox, oy, oz,
         v_out[:] = best_v
 
 
+def _bvh_closest_attr_kernel(n_live_ref, node_ref, tri_ref, attr_ref,
+                             ox, oy, oz, dx, dy, dz, tn, tf,
+                             t_out, id_out, nsx_o, nsy_o, nsz_o,
+                             ngx_o, ngy_o, ngz_o, uu_o, vv_o, mat_o, em_o,
+                             leaf_buf, *, n_nodes):
+    """Closest hit WITH in-kernel shading-attribute resolution: the MT
+    loop already holds the winning triangle's barycentrics in registers,
+    so the hit attributes (interpolated shading normal, geometric normal,
+    interpolated uv, material/emitter ids, original tri id) are
+    where-selected from a leaf-ordered attr table — eliminating the
+    whole per-bounce XLA gather epilogue (round-2 closing profile: the
+    epilogue cost ~29-45 ms per 921600-lane wavefront vs ~7 ms of
+    in-kernel selects).
+
+    attr table row (f32 x32), leaf-slot order:
+      [n0.xyz, n1.xyz, n2.xyz, ng.xyz, uv0.xy, uv1.xy, uv2.xy, mat, em]
+    id/mat/em are returned as exact small-int floats (cast outside)."""
+    step_base = pl.program_id(0) * RAY_ROWS * LANE_BLOCK
+    shape = ox.shape
+    t_out[:] = tf[:]
+    id_out[:] = jnp.full(shape, -1.0, jnp.float32)
+    for ref in (nsx_o, nsy_o, nsz_o, ngx_o, ngy_o, ngz_o, uu_o, vv_o,
+                mat_o, em_o):
+        ref[:] = jnp.zeros(shape, jnp.float32)
+
+    @pl.when(step_base < n_live_ref[0])
+    def _run():
+        o_x, o_y, o_z = ox[:], oy[:], oz[:]
+        d_x, d_y, d_z = dx[:], dy[:], dz[:]
+        ix, iy, iz = _safe_inv(d_x), _safe_inv(d_y), _safe_inv(d_z)
+        t_near = tn[:]
+        t_far = tf[:]
+        cnt = _collect_leaves(node_ref, leaf_buf, o_x, o_y, o_z, ix, iy, iz,
+                              t_near, t_far, n_nodes)
+
+        # pass 2a: the proven 4-carry closest-hit loop (identical to
+        # _bvh_closest_kernel, so winner selection matches it bit-exactly)
+        def tri_body(j, carry):
+            best_t, best_i, best_u, best_v = carry
+            base = leaf_buf[j]
+            blk = tri_ref[pl.ds(base, LEAF_K), :]
+            for k in range(LEAF_K):
+                tt, u, v, ok = _mt_one(
+                    blk[k, 0], blk[k, 1], blk[k, 2],
+                    blk[k, 3], blk[k, 4], blk[k, 5],
+                    blk[k, 6], blk[k, 7], blk[k, 8],
+                    o_x, o_y, o_z, d_x, d_y, d_z,
+                )
+                ok = ok & (tt > t_near) & (tt < best_t)
+                best_t = jnp.where(ok, tt, best_t)
+                best_i = jnp.where(ok, base + k, best_i)
+                best_u = jnp.where(ok, u, best_u)
+                best_v = jnp.where(ok, v, best_v)
+            return best_t, best_i, best_u, best_v
+
+        init = (
+            t_far,
+            jnp.full(shape, -1, jnp.int32),
+            jnp.zeros(shape, jnp.float32),
+            jnp.zeros(shape, jnp.float32),
+        )
+        best_t, best_i, best_u, best_v = jax.lax.fori_loop(
+            0, cnt, tri_body, init
+        )
+
+        # pass 2b: attribute selection keyed on SLOT EQUALITY against the
+        # final winner — immune to float-tie inconsistencies by
+        # construction (the winner's row is selected, whatever won)
+        bw = 1.0 - best_u - best_v
+
+        def attr_body(j, carry):
+            (idf, nsx, nsy, nsz, ngx, ngy, ngz, uu, vv, mat, em) = carry
+            base = leaf_buf[j]
+            blk = tri_ref[pl.ds(base, LEAF_K), :]
+            ablk = attr_ref[pl.ds(base, LEAF_K), :]
+            for k in range(LEAF_K):
+                m = best_i == (base + k)
+                ab = ablk[k]
+                idf = jnp.where(m, blk[k, 9], idf)
+                nsx = jnp.where(m, ab[0] * bw + ab[3] * best_u + ab[6] * best_v, nsx)
+                nsy = jnp.where(m, ab[1] * bw + ab[4] * best_u + ab[7] * best_v, nsy)
+                nsz = jnp.where(m, ab[2] * bw + ab[5] * best_u + ab[8] * best_v, nsz)
+                ngx = jnp.where(m, ab[9], ngx)
+                ngy = jnp.where(m, ab[10], ngy)
+                ngz = jnp.where(m, ab[11], ngz)
+                uu = jnp.where(m, ab[12] * bw + ab[14] * best_u + ab[16] * best_v, uu)
+                vv = jnp.where(m, ab[13] * bw + ab[15] * best_u + ab[17] * best_v, vv)
+                mat = jnp.where(m, ab[18], mat)
+                em = jnp.where(m, ab[19], em)
+            return (idf, nsx, nsy, nsz, ngx, ngy, ngz, uu, vv, mat, em)
+
+        z = jnp.zeros(shape, jnp.float32)
+        ainit = (jnp.full(shape, -1.0, jnp.float32),
+                 z, z, z, z, z, z, z, z, z,
+                 jnp.full(shape, -1.0, jnp.float32))
+        (idf, nsx, nsy, nsz, ngx, ngy, ngz, uu, vv, mat, em) = (
+            jax.lax.fori_loop(0, cnt, attr_body, ainit)
+        )
+        t_out[:] = best_t
+        id_out[:] = idf
+        nsx_o[:] = nsx
+        nsy_o[:] = nsy
+        nsz_o[:] = nsz
+        ngx_o[:] = ngx
+        ngy_o[:] = ngy
+        ngz_o[:] = ngz
+        uu_o[:] = uu
+        vv_o[:] = vv
+        mat_o[:] = mat
+        em_o[:] = em
+
+
 def _bvh_any_kernel(n_live_ref, node_ref, tri_ref, ox, oy, oz,
                     dx, dy, dz, tn, tf, hit_out, leaf_buf, *, n_nodes):
     step_base = pl.program_id(0) * RAY_ROWS * LANE_BLOCK
@@ -276,6 +388,52 @@ def bvh_closest_hit(nodes, tris, o, d, t_near, t_far, n_nodes: int,
     )(jnp.asarray(n_live, jnp.int32).reshape(1), nodes, tris, *planes)
     t, i, u, v = (x.reshape(-1)[:n] for x in out)
     return t, i, u, v
+
+
+@partial(jax.jit, static_argnames=("n_nodes", "max_leaves", "interpret"))
+def bvh_closest_hit_attrs(nodes, tris, attrs, o, d, t_near, t_far,
+                          n_nodes: int, max_leaves: int, n_live=None,
+                          interpret: bool = False):
+    """Fused closest-hit + shading attributes. Returns a dict with keys
+    t, id (i32 original tri, -1 on miss), ns (N,3) unnormalized
+    interpolated shading normal, ng (N,3) unnormalized geometric normal,
+    uv (N,2), mat (i32), em (i32)."""
+    n = o.shape[0]
+    rows_pad, n_pad = _plan(n)
+    if n_live is None:
+        n_live = jnp.int32(n)
+    planes = _common_planes(o, d, t_near, t_far, n_pad)
+    ray_spec = pl.BlockSpec(
+        (RAY_ROWS, LANE_BLOCK), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        partial(_bvh_closest_attr_kernel, n_nodes=n_nodes),
+        grid=(rows_pad // RAY_ROWS,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ]
+        + [ray_spec] * 8,
+        out_specs=[ray_spec] * 12,
+        out_shape=[jax.ShapeDtypeStruct((rows_pad, LANE_BLOCK), jnp.float32)]
+        * 12,
+        scratch_shapes=[pltpu.SMEM((max(max_leaves, 1),), jnp.int32)],
+        interpret=interpret,
+    )(jnp.asarray(n_live, jnp.int32).reshape(1), nodes, tris, attrs, *planes)
+    (t, idf, nsx, nsy, nsz, ngx, ngy, ngz, uu, vv, matf, emf) = (
+        x.reshape(-1)[:n] for x in out
+    )
+    return {
+        "t": t,
+        "id": idf.astype(jnp.int32),
+        "ns": jnp.stack([nsx, nsy, nsz], axis=-1),
+        "ng": jnp.stack([ngx, ngy, ngz], axis=-1),
+        "uv": jnp.stack([uu, vv], axis=-1),
+        "mat": matf.astype(jnp.int32),
+        "em": emf.astype(jnp.int32),
+    }
 
 
 @partial(jax.jit, static_argnames=("n_nodes", "max_leaves", "interpret"))

@@ -227,6 +227,12 @@ def compile_scene(desc: SceneDesc) -> Scene:
     attr[:, 19] = tris["emitter"].astype(np.float32)
     tris["attr"] = attr
 
+    # attr rows in BVH leaf-slot order for the fused closest-hit kernel
+    # (resolves hit attributes in-kernel; zero XLA gathers per bounce)
+    tris["bvh_attr"] = (
+        attr[np.maximum(bvh_map, 0)] * (bvh_map >= 0)[:, None]
+    ).astype(np.float32)
+
     # scene bbox over real geometry
     pts = [tris_np["v0"], tris_np["v1"], tris_np["v2"]]
     if spheres_np["center"].shape[0] > 0:

@@ -180,3 +180,59 @@ def test_bvh_n_live_watermark(soup):
         n_live=jnp.int32(0), interpret=True,
     )
     assert (np.asarray(slot) == -1).all()
+
+
+def test_bvh_attrs_kernel_matches_epilogue(cornell_small):
+    """Fused closest-hit+attrs kernel == old kernel + XLA gather epilogue
+    on a real camera wavefront (round-3 lever 1)."""
+    from practical_path_guiding_lab_tpu.ops.pallas.bvh_traverse import (
+        bvh_closest_hit_attrs,
+    )
+    from practical_path_guiding_lab_tpu.scene.camera import generate_rays
+
+    scene = cornell_small
+    w, h = scene.camera.width, scene.camera.height
+    yy, xx = np.meshgrid(np.arange(h) + 0.5, np.arange(w) + 0.5, indexing="ij")
+    sx = (xx.reshape(-1) / w).astype(np.float32)
+    sy = (yy.reshape(-1) / h).astype(np.float32)
+    ray = generate_rays(scene.camera, jnp.asarray(sx), jnp.asarray(sy))
+    n = ray.o.shape[0]
+    t_near = jnp.full((n,), 1e-4)
+    t_far = jnp.full((n,), 1e30)
+
+    t0, slot, tu, tv = bvh_closest_hit(
+        scene.tris["bvh_nodes"], scene.tris["bvh_tris"], ray.o, ray.d,
+        t_near, t_far, scene.bvh_n_nodes, scene.bvh_n_leaves, interpret=True,
+    )
+    ti = np.asarray(
+        jnp.where(slot >= 0, scene.tris["bvh_map"][jnp.maximum(slot, 0)], -1)
+    )
+    # old epilogue (reference for attrs)
+    tu, tv = np.asarray(tu), np.asarray(tv)
+    wgt = 1.0 - tu - tv
+    row = np.asarray(scene.tris["attr"])[np.maximum(ti, 0)]
+    ns_ref = row[:, 0:3] * wgt[:, None] + row[:, 3:6] * tu[:, None] + row[:, 6:9] * tv[:, None]
+    uv_ref = row[:, 12:14] * wgt[:, None] + row[:, 14:16] * tu[:, None] + row[:, 16:18] * tv[:, None]
+
+    res = bvh_closest_hit_attrs(
+        scene.tris["bvh_nodes"], scene.tris["bvh_tris"],
+        scene.tris["bvh_attr"], ray.o, ray.d, t_near, t_far,
+        scene.bvh_n_nodes, scene.bvh_n_leaves, interpret=True,
+    )
+    rid = np.asarray(res["id"])
+    m = ti >= 0
+    assert ((rid >= 0) == m).all()
+    # identical winning triangle except exact-tie cases
+    agree = (rid[m] == ti[m])
+    assert agree.mean() > 0.99
+    am = m & (rid == ti)
+    assert np.allclose(np.asarray(res["t"])[am], np.asarray(t0)[am],
+                       rtol=1e-4, atol=1e-5)
+    assert np.allclose(np.asarray(res["ns"])[am], ns_ref[am],
+                       rtol=1e-3, atol=1e-4)
+    assert np.allclose(np.asarray(res["ng"])[am], row[:, 9:12][am],
+                       rtol=1e-4, atol=1e-5)
+    assert np.allclose(np.asarray(res["uv"])[am], uv_ref[am],
+                       rtol=1e-3, atol=1e-4)
+    assert (np.asarray(res["mat"])[am] == row[:, 18].astype(np.int32)[am]).all()
+    assert (np.asarray(res["em"])[am] == row[:, 19].astype(np.int32)[am]).all()
