@@ -26,6 +26,9 @@ MAX_CLUSTERS_FOR_CLUSTERED = 256
 # kernel instead of failing Mosaic compilation (~16 MB VMEM/core minus the
 # ray tiles and double-buffering headroom)
 MAX_BVH_TABLE_BYTES = 8 << 20
+# the pair-walk table lives in SMEM (1 MB/core on v5e); leave headroom for
+# the leaf list + stack scratch
+MAX_PAIR_TABLE_BYTES = 448 << 10
 
 
 def _bvh_fits(scene) -> bool:
@@ -36,6 +39,14 @@ def _bvh_fits(scene) -> bool:
     attrs = scene.tris.get("bvh_attr")
     total = nodes.size + tris.size + (attrs.size if attrs is not None else 0)
     return total * 4 <= MAX_BVH_TABLE_BYTES
+
+
+def _pair_fits(scene) -> bool:
+    return (
+        scene.bvh_n_internal > 0
+        and "bvh_pair" in scene.tris
+        and scene.tris["bvh_pair"].size * 4 <= MAX_PAIR_TABLE_BYTES
+    )
 
 
 def _use_pallas() -> bool:
@@ -155,17 +166,18 @@ def intersect(scene, o, d, t_near=None, t_far=None, n_live=None) -> Intersection
         _use_pallas()
         and _kernel_choice() == "bvh"
         and _bvh_fits(scene)
+        and _pair_fits(scene)
         and "bvh_attr" in scene.tris
     ):
-        # fused kernel: closest hit AND shading attributes resolved
-        # in-kernel — no per-bounce XLA gather epilogue (round-3 lever 1)
+        # fused kernel: SMEM pair walk + closest hit + shading attributes
+        # resolved in-kernel — no per-bounce XLA gather epilogue
         from ..ops.pallas.bvh_traverse import bvh_closest_hit_attrs
 
         res = bvh_closest_hit_attrs(
-            scene.tris["bvh_nodes"], scene.tris["bvh_tris"],
+            scene.tris["bvh_pair"], scene.tris["bvh_tris"],
             scene.tris["bvh_attr"], o, d, t_near,
             jnp.where(jnp.isfinite(t_far), t_far, 1e30),
-            scene.bvh_n_nodes, scene.bvh_n_leaves, n_live=n_live,
+            scene.bvh_n_leaves, n_live=n_live,
         )
         ti = res["id"]
         tt = jnp.where(ti >= 0, res["t"], jnp.inf)
@@ -319,13 +331,24 @@ def occluded(scene, o, d, t_max, n_live=None) -> jnp.ndarray:
         and _kernel_choice() == "bvh"
         and _bvh_fits(scene)
     ):
-        from ..ops.pallas.bvh_traverse import bvh_any_hit
+        if _pair_fits(scene):
+            from ..ops.pallas.bvh_traverse import bvh_any_hit_pair
 
-        hit_tri = bvh_any_hit(
-            scene.tris["bvh_nodes"], scene.tris["bvh_tris"], o, d, t_near,
-            jnp.where(jnp.isfinite(t_far), t_far, 1e30),
-            scene.bvh_n_nodes, scene.bvh_n_leaves, n_live=n_live,
-        )
+            hit_tri = bvh_any_hit_pair(
+                scene.tris["bvh_pair"], scene.tris["bvh_tris"], o, d,
+                t_near, jnp.where(jnp.isfinite(t_far), t_far, 1e30),
+                scene.bvh_n_leaves, n_live=n_live,
+            )
+        else:
+            from ..ops.pallas.bvh_traverse import bvh_any_hit
+
+            hit_tri = bvh_any_hit(
+                scene.tris["bvh_nodes"], scene.tris["bvh_tris"], o, d,
+                t_near, jnp.where(jnp.isfinite(t_far), t_far, 1e30),
+                scene.bvh_n_nodes, scene.bvh_n_leaves, n_live=n_live,
+            )
+        if scene.spheres["center"].shape[0] == 0:
+            return hit_tri
         _, si = _intersect_spheres(o, d, scene.spheres, t_near, t_far)
         return hit_tri | (si >= 0)
     if _use_pallas() and "soa_c" in scene.tris:

@@ -37,6 +37,7 @@ from ..core.math import (
     square_to_cosine_hemisphere,
     to_local,
     to_world,
+    small_table_gather,
 )
 from ..scene.scene import (
     BSDF_CONDUCTOR,
@@ -79,7 +80,7 @@ def make_context(scene, si) -> BSDFContext:
 
     m = scene.materials
     mid = si.material
-    row = m.packed[mid]  # (N, 16)
+    row = small_table_gather(m.packed, mid)  # (N, 16) via one-hot MXU
     kind = row[:, 0].astype(jnp.int32)
     tex_vals = eval_all_textures(scene.textures, si.uv)
     refl = select_texture(tex_vals, row[:, 1].astype(jnp.int32))

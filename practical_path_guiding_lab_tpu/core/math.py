@@ -136,3 +136,24 @@ def transform_point(m, p):
 
 def transform_vector(m, v):
     return jnp.einsum("ij,...j->...i", m[:3, :3], v)
+
+
+def small_table_gather(table, idx, max_onehot_rows: int = 128):
+    """Row gather via one-hot matmul on the MXU.
+
+    XLA's native gather lowers to a serial per-lane loop on TPU (~7 ms
+    per instruction at ~1M lanes, docs/PERF_NOTES.md); for small tables a
+    lane-wise compare + (N, M) @ (M, W) matmul is ~10x cheaper and rides
+    the MXU. Exact: the one-hot matmul is a masked sum of rows, and every
+    f32 table value times 1.0 is itself. Falls back to the native gather
+    for tables taller than ``max_onehot_rows``.
+    """
+    import jax.numpy as jnp
+
+    m = table.shape[0]
+    if m > max_onehot_rows:
+        return table[idx]
+    flat = table.reshape(m, -1).astype(jnp.float32)
+    oh = (idx[..., None] == jnp.arange(m, dtype=jnp.int32)).astype(jnp.float32)
+    out = oh @ flat
+    return out.reshape(idx.shape + table.shape[1:]).astype(table.dtype)

@@ -99,7 +99,48 @@ def build_bvh_tables(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray):
     nodes[n:, 3:6] = -np.inf
     nodes[n:, 6] = n
     nodes[n:, 7] = -1.0
-    return nodes, tris, slot_map, int(n), int(n_leaves)
+
+    # --- pair-walk table: one row per INTERNAL node holding BOTH
+    # children's AABBs + links. Halves the scalar-latency-bound walk's
+    # step count (each step retires two nodes); stored FLAT for SMEM
+    # residency (scalar loads avoid vector->scalar extracts).
+    # Row stride 16: [loL.xyz, hiL.xyz, loR.xyz, hiR.xyz, cL, cR, 0, 0];
+    # child code c: >= 0 -> internal row index, < 0 -> leaf, tri_base
+    # = -c - 1.
+    internal = np.nonzero(right >= 0)[0]
+    new_idx = np.full(n, -1, np.int64)
+    new_idx[internal] = np.arange(len(internal))
+
+    def child_code(c):
+        if right[c] >= 0:
+            return float(new_idx[c])
+        return float(-int(base_of[c]) - 1)
+
+    if len(internal) == 0:
+        # degenerate single-leaf tree: one pseudo-internal, both children
+        # the root leaf
+        pair = np.zeros(16, np.float32)
+        pair[0:3] = bvh["node_lo"][0]
+        pair[3:6] = bvh["node_hi"][0]
+        pair[6:9] = np.inf
+        pair[9:12] = -np.inf
+        pair[12] = float(-int(base_of[0]) - 1)
+        pair[13] = float(-int(base_of[0]) - 1)
+        pair = pair.reshape(1, 16)
+        n_internal = 1
+    else:
+        n_internal = len(internal)
+        pair = np.zeros((n_internal, 16), np.float32)
+        for ni, i in enumerate(internal):
+            cl, cr = i + 1, right[i]
+            pair[ni, 0:3] = bvh["node_lo"][cl]
+            pair[ni, 3:6] = bvh["node_hi"][cl]
+            pair[ni, 6:9] = bvh["node_lo"][cr]
+            pair[ni, 9:12] = bvh["node_hi"][cr]
+            pair[ni, 12] = child_code(cl)
+            pair[ni, 13] = child_code(cr)
+    return (nodes, tris, slot_map, int(n), int(n_leaves),
+            pair.reshape(-1), int(n_internal))
 
 
 # ===========================================================================
@@ -146,6 +187,67 @@ def _collect_leaves(node_ref, leaf_buf, o_x, o_y, o_z, ix, iy, iz,
         return idx2, cnt2
 
     _, cnt = jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(0)))
+    return cnt
+
+
+def _slab_scalar6(pair_ref, b, o_x, o_y, o_z, ix, iy, iz, t_near, t_far):
+    """Slab test with bounds loaded as 6 scalars from a flat SMEM table."""
+    t0 = (pair_ref[b] - o_x) * ix
+    t1 = (pair_ref[b + 3] - o_x) * ix
+    tmin = jnp.minimum(t0, t1)
+    tmax = jnp.maximum(t0, t1)
+    t0 = (pair_ref[b + 1] - o_y) * iy
+    t1 = (pair_ref[b + 4] - o_y) * iy
+    tmin = jnp.maximum(tmin, jnp.minimum(t0, t1))
+    tmax = jnp.minimum(tmax, jnp.maximum(t0, t1))
+    t0 = (pair_ref[b + 2] - o_z) * iz
+    t1 = (pair_ref[b + 5] - o_z) * iz
+    tmin = jnp.maximum(tmin, jnp.minimum(t0, t1))
+    tmax = jnp.minimum(tmax, jnp.maximum(t0, t1))
+    return (tmax >= tmin) & (tmax > t_near) & (tmin < t_far)
+
+
+def _collect_leaves_pair(pair_ref, stack_ref, leaf_buf, o_x, o_y, o_z,
+                         ix, iy, iz, t_near, t_far):
+    """Tile-shared PAIR walk: explicit SMEM stack over internal nodes;
+    each step slab-tests BOTH children (independent -> their any()
+    reductions pipeline) and pushes hit internals / records hit leaves.
+    Half the scalar steps of the skip-pointer walk, and the walk data
+    lives in SMEM (scalar loads, no vector->scalar extracts)."""
+    stack_ref[0] = 0
+
+    def cond(carry):
+        sp, cnt = carry
+        return sp > 0
+
+    def body(carry):
+        sp, cnt = carry
+        sp = sp - 1
+        i = stack_ref[sp]
+        b = i * 16
+        mayL = _slab_scalar6(pair_ref, b, o_x, o_y, o_z, ix, iy, iz,
+                             t_near, t_far)
+        mayR = _slab_scalar6(pair_ref, b + 6, o_x, o_y, o_z, ix, iy, iz,
+                             t_near, t_far)
+        hitL = jnp.any(mayL)
+        hitR = jnp.any(mayR)
+        cl = pair_ref[b + 12].astype(jnp.int32)
+        cr = pair_ref[b + 13].astype(jnp.int32)
+        leafL = cl < 0
+        leafR = cr < 0
+        # left child: unconditional writes + conditional pointer bumps
+        leaf_buf[cnt] = -cl - 1
+        cnt = jnp.where(hitL & leafL, cnt + 1, cnt)
+        stack_ref[sp] = cl
+        sp = jnp.where(hitL & ~leafL, sp + 1, sp)
+        # right child (uses the updated pointers)
+        leaf_buf[cnt] = -cr - 1
+        cnt = jnp.where(hitR & leafR, cnt + 1, cnt)
+        stack_ref[sp] = cr
+        sp = jnp.where(hitR & ~leafR, sp + 1, sp)
+        return sp, cnt
+
+    _, cnt = jax.lax.while_loop(cond, body, (jnp.int32(1), jnp.int32(0)))
     return cnt
 
 
@@ -201,11 +303,11 @@ def _bvh_closest_kernel(n_live_ref, node_ref, tri_ref, ox, oy, oz,
         v_out[:] = best_v
 
 
-def _bvh_closest_attr_kernel(n_live_ref, node_ref, tri_ref, attr_ref,
+def _bvh_closest_attr_kernel(n_live_ref, pair_ref, tri_ref, attr_ref,
                              ox, oy, oz, dx, dy, dz, tn, tf,
                              t_out, id_out, nsx_o, nsy_o, nsz_o,
                              ngx_o, ngy_o, ngz_o, uu_o, vv_o, mat_o, em_o,
-                             leaf_buf, *, n_nodes):
+                             leaf_buf, stack_ref):
     """Closest hit WITH in-kernel shading-attribute resolution: the MT
     loop already holds the winning triangle's barycentrics in registers,
     so the hit attributes (interpolated shading normal, geometric normal,
@@ -233,8 +335,8 @@ def _bvh_closest_attr_kernel(n_live_ref, node_ref, tri_ref, attr_ref,
         ix, iy, iz = _safe_inv(d_x), _safe_inv(d_y), _safe_inv(d_z)
         t_near = tn[:]
         t_far = tf[:]
-        cnt = _collect_leaves(node_ref, leaf_buf, o_x, o_y, o_z, ix, iy, iz,
-                              t_near, t_far, n_nodes)
+        cnt = _collect_leaves_pair(pair_ref, stack_ref, leaf_buf,
+                                   o_x, o_y, o_z, ix, iy, iz, t_near, t_far)
 
         # pass 2a: the proven 4-carry closest-hit loop (identical to
         # _bvh_closest_kernel, so winner selection matches it bit-exactly)
@@ -311,6 +413,74 @@ def _bvh_closest_attr_kernel(n_live_ref, node_ref, tri_ref, attr_ref,
         vv_o[:] = vv
         mat_o[:] = mat
         em_o[:] = em
+
+
+def _bvh_any_pair_kernel(n_live_ref, pair_ref, tri_ref, ox, oy, oz,
+                         dx, dy, dz, tn, tf, hit_out, leaf_buf, stack_ref):
+    step_base = pl.program_id(0) * RAY_ROWS * LANE_BLOCK
+    hit_out[:] = jnp.zeros(ox.shape, jnp.bool_)
+
+    @pl.when(step_base < n_live_ref[0])
+    def _run():
+        o_x, o_y, o_z = ox[:], oy[:], oz[:]
+        d_x, d_y, d_z = dx[:], dy[:], dz[:]
+        ix, iy, iz = _safe_inv(d_x), _safe_inv(d_y), _safe_inv(d_z)
+        t_near = tn[:]
+        t_far = tf[:]
+        cnt = _collect_leaves_pair(pair_ref, stack_ref, leaf_buf,
+                                   o_x, o_y, o_z, ix, iy, iz, t_near, t_far)
+
+        def tri_body(j, hit):
+            base = leaf_buf[j]
+            blk = tri_ref[pl.ds(base, LEAF_K), :]
+            for k in range(LEAF_K):
+                tt, u, v, ok = _mt_one(
+                    blk[k, 0], blk[k, 1], blk[k, 2],
+                    blk[k, 3], blk[k, 4], blk[k, 5],
+                    blk[k, 6], blk[k, 7], blk[k, 8],
+                    o_x, o_y, o_z, d_x, d_y, d_z,
+                )
+                ok = ok & (tt > t_near) & (tt < t_far)
+                hit = jnp.maximum(hit, ok.astype(jnp.float32))
+            return hit
+
+        # float carry — Mosaic mis-lowers i1 vector loop carries
+        hit = jax.lax.fori_loop(
+            0, cnt, tri_body, jnp.zeros(o_x.shape, jnp.float32)
+        )
+        hit_out[:] = hit > 0.0
+
+
+@partial(jax.jit, static_argnames=("max_leaves", "interpret"))
+def bvh_any_hit_pair(pair, tris, o, d, t_near, t_far, max_leaves: int,
+                     n_live=None, interpret: bool = False):
+    """Any-hit over the SMEM pair-walk table."""
+    n = o.shape[0]
+    rows_pad, n_pad = _plan(n)
+    if n_live is None:
+        n_live = jnp.int32(n)
+    planes = _common_planes(o, d, t_near, t_far, n_pad)
+    ray_spec = pl.BlockSpec(
+        (RAY_ROWS, LANE_BLOCK), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        _bvh_any_pair_kernel,
+        grid=(rows_pad // RAY_ROWS,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ]
+        + [ray_spec] * 8,
+        out_specs=ray_spec,
+        out_shape=jax.ShapeDtypeStruct((rows_pad, LANE_BLOCK), jnp.bool_),
+        scratch_shapes=[
+            pltpu.SMEM((max(max_leaves, 1),), jnp.int32),
+            pltpu.SMEM((128,), jnp.int32),
+        ],
+        interpret=interpret,
+    )(jnp.asarray(n_live, jnp.int32).reshape(1), pair, tris, *planes)
+    return out.reshape(-1)[:n]
 
 
 def _bvh_any_kernel(n_live_ref, node_ref, tri_ref, ox, oy, oz,
@@ -390,14 +560,14 @@ def bvh_closest_hit(nodes, tris, o, d, t_near, t_far, n_nodes: int,
     return t, i, u, v
 
 
-@partial(jax.jit, static_argnames=("n_nodes", "max_leaves", "interpret"))
-def bvh_closest_hit_attrs(nodes, tris, attrs, o, d, t_near, t_far,
-                          n_nodes: int, max_leaves: int, n_live=None,
+@partial(jax.jit, static_argnames=("max_leaves", "interpret"))
+def bvh_closest_hit_attrs(pair, tris, attrs, o, d, t_near, t_far,
+                          max_leaves: int, n_live=None,
                           interpret: bool = False):
-    """Fused closest-hit + shading attributes. Returns a dict with keys
-    t, id (i32 original tri, -1 on miss), ns (N,3) unnormalized
-    interpolated shading normal, ng (N,3) unnormalized geometric normal,
-    uv (N,2), mat (i32), em (i32)."""
+    """Fused closest-hit + shading attributes over the SMEM pair-walk
+    table. Returns a dict with keys t, id (i32 original tri, -1 on miss),
+    ns (N,3) unnormalized interpolated shading normal, ng (N,3)
+    unnormalized geometric normal, uv (N,2), mat (i32), em (i32)."""
     n = o.shape[0]
     rows_pad, n_pad = _plan(n)
     if n_live is None:
@@ -407,11 +577,11 @@ def bvh_closest_hit_attrs(nodes, tris, attrs, o, d, t_near, t_far,
         (RAY_ROWS, LANE_BLOCK), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     out = pl.pallas_call(
-        partial(_bvh_closest_attr_kernel, n_nodes=n_nodes),
+        _bvh_closest_attr_kernel,
         grid=(rows_pad // RAY_ROWS,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ]
@@ -419,9 +589,12 @@ def bvh_closest_hit_attrs(nodes, tris, attrs, o, d, t_near, t_far,
         out_specs=[ray_spec] * 12,
         out_shape=[jax.ShapeDtypeStruct((rows_pad, LANE_BLOCK), jnp.float32)]
         * 12,
-        scratch_shapes=[pltpu.SMEM((max(max_leaves, 1),), jnp.int32)],
+        scratch_shapes=[
+            pltpu.SMEM((max(max_leaves, 1),), jnp.int32),
+            pltpu.SMEM((128,), jnp.int32),  # DFS stack (>= max tree depth)
+        ],
         interpret=interpret,
-    )(jnp.asarray(n_live, jnp.int32).reshape(1), nodes, tris, attrs, *planes)
+    )(jnp.asarray(n_live, jnp.int32).reshape(1), pair, tris, attrs, *planes)
     (t, idf, nsx, nsy, nsz, ngx, ngy, ngz, uu, vv, matf, emf) = (
         x.reshape(-1)[:n] for x in out
     )

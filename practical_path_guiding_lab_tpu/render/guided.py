@@ -21,7 +21,9 @@ import jax.numpy as jnp
 from .. import bsdf as bsdf_mod
 from ..accel.traverse import intersect, occluded
 from ..core import rng
-from ..core.math import dot, luminance, mis_power_heuristic, nan_to_zero
+from ..core.math import (
+    dot, luminance, mis_power_heuristic, nan_to_zero, small_table_gather,
+)
 from ..core.records import PathRecords
 from ..core.sphere_map import canonical_to_dir, dir_to_canonical
 from ..guiding import sdtree as sd
@@ -118,7 +120,9 @@ def _bounce_body(scene, tree_prev, seed0, pass_index, iteration,
 
     # --- emission with MIS vs previous mixture pdf ---
     Le = jnp.where(
-        (si.emitter >= 0)[:, None], em.radiance[jnp.maximum(si.emitter, 0)], 0.0
+        (si.emitter >= 0)[:, None],
+        small_table_gather(em.radiance, jnp.maximum(si.emitter, 0)),
+        0.0,
     )
     Le = jnp.where(si.entering[:, None], Le, 0.0)
     pdf_em_dir = em_mod.pdf_hit_dir(em, s["o"], s["d"], si.emitter, si.t, si.n)

@@ -15,7 +15,9 @@ import jax.numpy as jnp
 from .. import bsdf as bsdf_mod
 from ..accel.traverse import intersect, occluded
 from ..core import rng
-from ..core.math import dot, mis_power_heuristic, nan_to_zero
+from ..core.math import (
+    dot, mis_power_heuristic, nan_to_zero, small_table_gather,
+)
 from ..scene import emitters as em_mod
 from ..scene.camera import generate_rays
 
@@ -137,7 +139,9 @@ def _bounce_body(scene, seed0, pass_index, s):
     # --- emission on hit (MIS vs previous bounce pdf) ---
     em = scene.emitters
     Le = jnp.where(
-        (si.emitter >= 0)[:, None], em.radiance[jnp.maximum(si.emitter, 0)], 0.0
+        (si.emitter >= 0)[:, None],
+        small_table_gather(em.radiance, jnp.maximum(si.emitter, 0)),
+        0.0,
     )
     # one-sided: emit only toward the front side (original orientation)
     Le = jnp.where(si.entering[:, None], Le, 0.0)

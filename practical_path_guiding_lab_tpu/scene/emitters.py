@@ -15,7 +15,9 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from ..core.math import INV_PI, PI, TWO_PI, dot, normalize, safe_sqrt
+from ..core.math import (
+    INV_PI, PI, TWO_PI, dot, normalize, safe_sqrt, small_table_gather,
+)
 
 KIND_AREA_MESH = 0
 KIND_AREA_SPHERE = 1
@@ -245,20 +247,22 @@ def sample_nee(em: EmitterTable, tris, p, u_sel, u1, u2):
     E = em.num
     n = p.shape[:-1]
     ei = jnp.clip((u_sel * E).astype(jnp.int32), 0, E - 1)
-    # packed per-emitter scalars: ONE row gather (XLA TPU gathers cost the
-    # same for any row width <= 16)
-    row = em.packed[ei]  # (..., 16)
+    # packed per-emitter scalars: one-hot MXU matmul (the emitter table is
+    # tiny; a native gather costs ~7 ms per instruction at 1M lanes)
+    row = small_table_gather(em.packed, ei)  # (..., 16)
     kind = row[..., 0].astype(jnp.int32)
 
     # --- area mesh: pick triangle by CDF, uniform barycentric ---
-    tcdf = em.tri_cdf[ei]  # (..., K) row gather
+    tcdf = small_table_gather(em.tri_cdf, ei)  # (..., K) row
     K = tcdf.shape[-1]
     ti_local = jnp.sum(tcdf < u1[..., None], axis=-1)
     ti_local = jnp.clip(ti_local, 0, K - 1)
     # one-hot selects instead of minor-axis take_along_axis (slow on TPU)
     kio = jax.lax.broadcasted_iota(jnp.int32, tcdf.shape, len(tcdf.shape) - 1)
     sel = kio == ti_local[..., None]
-    tid = jnp.sum(jnp.where(sel, em.tri_ids[ei], 0), axis=-1)
+    tid = jnp.sum(
+        jnp.where(sel, small_table_gather(em.tri_ids, ei), 0), axis=-1
+    )
     hi = jnp.sum(jnp.where(sel, tcdf, 0.0), axis=-1)
     lo = jnp.sum(
         jnp.where(kio == (ti_local - 1)[..., None], tcdf, 0.0), axis=-1
@@ -377,7 +381,7 @@ def pdf_hit_dir(em: EmitterTable, p, wo, hit_emitter, hit_t, hit_n):
     ``hit_t`` with normal ``hit_n`` (for MIS weighting of emission hits)."""
     E = em.num
     ei = jnp.maximum(hit_emitter, 0)
-    row = em.packed[ei]  # one row gather for all per-emitter scalars
+    row = small_table_gather(em.packed, ei)  # per-emitter scalars, one-hot
     kind = row[..., 0].astype(jnp.int32)
     cos_l = jnp.abs(dot(hit_n, -wo))
     pdf_mesh = (hit_t * hit_t) / jnp.maximum(row[..., 1] * cos_l, 1e-12)

@@ -73,10 +73,11 @@ class Scene:
     # static set of BSDF families present — the vectorized dispatcher only
     # emits code for these (smaller programs, faster compiles & VPU time)
     used_kinds: tuple = struct.field(pytree_node=False, default=())
-    # BVH table sizes (static; the Pallas skip-traversal kernel needs them
+    # BVH table sizes (static; the Pallas traversal kernels need them
     # at trace time). 0 = tables absent.
     bvh_n_nodes: int = struct.field(pytree_node=False, default=0)
     bvh_n_leaves: int = struct.field(pytree_node=False, default=0)
+    bvh_n_internal: int = struct.field(pytree_node=False, default=0)
 
 
 def _build_materials(desc: SceneDesc):
@@ -203,12 +204,14 @@ def compile_scene(desc: SceneDesc) -> Scene:
     # skip-pointer BVH tables for the production Pallas traversal kernel
     from ..ops.pallas.bvh_traverse import build_bvh_tables
 
-    bvh_nodes, bvh_tris, bvh_map, bvh_n_nodes, bvh_n_leaves = build_bvh_tables(
+    (bvh_nodes, bvh_tris, bvh_map, bvh_n_nodes, bvh_n_leaves,
+     bvh_pair, bvh_n_internal) = build_bvh_tables(
         tris_np["v0"], tris_np["v1"], tris_np["v2"]
     )
     tris["bvh_nodes"] = bvh_nodes
     tris["bvh_tris"] = bvh_tris
     tris["bvh_map"] = bvh_map
+    tris["bvh_pair"] = bvh_pair  # flat SMEM pair-walk table
 
     # packed per-triangle shading attributes: ONE wide row gather per hit
     # instead of ~10 scalar/vec gathers (XLA TPU gathers cost ~7 ms per
@@ -263,6 +266,7 @@ def compile_scene(desc: SceneDesc) -> Scene:
         used_kinds=tuple(sorted(set(int(k) for k in np.asarray(materials.kind)))),
         bvh_n_nodes=bvh_n_nodes,
         bvh_n_leaves=bvh_n_leaves,
+        bvh_n_internal=bvh_n_internal,
     )
 
 

@@ -106,7 +106,7 @@ def test_clustered_closest_interpret(soup):
 
 def test_bvh_closest_interpret(soup):
     v0, v1, v2, o, d, t_near, t_far, rt, rp = soup
-    nodes, tris, smap, nn, nl = build_bvh_tables(v0, v1, v2)
+    nodes, tris, smap, nn, nl, pair, npair = build_bvh_tables(v0, v1, v2)
     t, slot, u, v = bvh_closest_hit(
         jnp.asarray(nodes), jnp.asarray(tris), o, d, t_near, t_far, nn, nl,
         interpret=True,
@@ -135,12 +135,21 @@ def test_any_hit_kernels_interpret(soup):
         interpret=True,
     )
     assert (np.asarray(hc) == oracle).all()
-    nodes, tris, smap, nn, nl = build_bvh_tables(v0, v1, v2)
+    nodes, tris, smap, nn, nl, pair, npair = build_bvh_tables(v0, v1, v2)
     hv = bvh_any_hit(
         jnp.asarray(nodes), jnp.asarray(tris), o, d, t_near, t_far, nn, nl,
         interpret=True,
     )
     assert (np.asarray(hv) == oracle).all()
+    from practical_path_guiding_lab_tpu.ops.pallas.bvh_traverse import (
+        bvh_any_hit_pair,
+    )
+
+    hp = bvh_any_hit_pair(
+        jnp.asarray(pair), jnp.asarray(tris), o, d, t_near, t_far, nl,
+        interpret=True,
+    )
+    assert (np.asarray(hp) == oracle).all()
 
 
 def test_bvh_camera_wavefront_interpret(cornell_small):
@@ -174,7 +183,7 @@ def test_bvh_camera_wavefront_interpret(cornell_small):
 def test_bvh_n_live_watermark(soup):
     """Lanes beyond the live watermark are skipped wholesale."""
     v0, v1, v2, o, d, t_near, t_far, rt, rp = soup
-    nodes, tris, smap, nn, nl = build_bvh_tables(v0, v1, v2)
+    nodes, tris, smap, nn, nl, pair, npair = build_bvh_tables(v0, v1, v2)
     t, slot, _, _ = bvh_closest_hit(
         jnp.asarray(nodes), jnp.asarray(tris), o, d, t_near, t_far, nn, nl,
         n_live=jnp.int32(0), interpret=True,
@@ -215,9 +224,9 @@ def test_bvh_attrs_kernel_matches_epilogue(cornell_small):
     uv_ref = row[:, 12:14] * wgt[:, None] + row[:, 14:16] * tu[:, None] + row[:, 16:18] * tv[:, None]
 
     res = bvh_closest_hit_attrs(
-        scene.tris["bvh_nodes"], scene.tris["bvh_tris"],
+        scene.tris["bvh_pair"], scene.tris["bvh_tris"],
         scene.tris["bvh_attr"], ray.o, ray.d, t_near, t_far,
-        scene.bvh_n_nodes, scene.bvh_n_leaves, interpret=True,
+        scene.bvh_n_leaves, interpret=True,
     )
     rid = np.asarray(res["id"])
     m = ti >= 0
