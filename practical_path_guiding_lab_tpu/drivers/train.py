@@ -145,14 +145,13 @@ def train(cfg: TrainConfig):
 
         for pass_i in range(iter_pass):
             curr_pass_spp = min(spp_per_pass, iter_spp - iter_spp_count)
-            pass_img = None
-            for sub in range(curr_pass_spp):
-                img, rays = integrator.render_pass(
-                    cfg.initial_seed, cumm_spp + sub
-                )
-                total_rays += rays
-                pass_img = img if pass_img is None else pass_img + img
-            pass_img = np.asarray(pass_img) / curr_pass_spp
+            # final-iteration batches trace all samples in ONE wavefront
+            # dispatch (amortizes fixed per-dispatch cost; main.py:123)
+            img, rays = integrator.render_pass(
+                cfg.initial_seed, cumm_spp, spp=curr_pass_spp
+            )
+            total_rays += rays
+            pass_img = np.asarray(img)
 
             w_img = pass_img * (curr_pass_spp / iter_spp)
             curr_iter_image = (

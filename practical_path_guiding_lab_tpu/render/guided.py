@@ -473,7 +473,9 @@ def render_guided_pass(
 _splat_jit = jax.jit(process_and_splat, donate_argnums=(0,))
 
 
-def _film_samples(scene, seed0, pass_index):
+def _film_samples(scene, seed0, pass_index, spp=1):
+    """spp camera samples per pixel in one wavefront (tiled film order;
+    the reference's final iteration renders 4-spp batches, main.py:123)."""
     w, h = scene.camera.width, scene.camera.height
     n = w * h
     yy, xx = jnp.meshgrid(
@@ -481,12 +483,12 @@ def _film_samples(scene, seed0, pass_index):
         jnp.arange(w, dtype=jnp.float32),
         indexing="ij",
     )
-    lane_ids = jnp.arange(n, dtype=jnp.int32)
+    lane_ids = jnp.arange(n * spp, dtype=jnp.int32)
     u1, u2 = rng.uniform2(
         seed0, pass_index, 0, rng.PurposeId.CAMERA, lane_ids
     )
-    px = xx.reshape(-1) + u1
-    py = yy.reshape(-1) + u2
+    px = jnp.tile(xx.reshape(-1), spp) + u1
+    py = jnp.tile(yy.reshape(-1), spp) + u2
     return lane_ids, px, py
 
 
@@ -517,12 +519,12 @@ def render_guided_pass_stepped(
 
 def guided_wavefront_pass(
     scene, tree_prev, seed0, pass_index, iteration, record: bool,
-    bsdf_fraction: float = 0.5,
+    bsdf_fraction: float = 0.5, spp: int = 1,
 ):
     """Film sampling + fused while_loop wavefront, WITHOUT the splat —
     keeping the two halves in separate executables roughly halves XLA
     compile time on slow remote-compile backends."""
-    lane_ids, px, py = _film_samples(scene, seed0, pass_index)
+    lane_ids, px, py = _film_samples(scene, seed0, pass_index, spp)
     L, rays, recs = render_guided_wavefront(
         scene, tree_prev, seed0, pass_index, lane_ids, px, py, iteration,
         record=record, bsdf_fraction=bsdf_fraction,

@@ -83,7 +83,7 @@ class PathGuidingIntegrator:
         self._stepped = _stepped_backend()
         self._jit_wave = jax.jit(
             partial(guided_wavefront_pass, bsdf_fraction=bsdf_sampling_fraction),
-            static_argnames=("record",),
+            static_argnames=("record", "spp"),
         )
 
     def set_mesh(self, mesh):
@@ -133,9 +133,19 @@ class PathGuidingIntegrator:
 
     # ------------------------------------------------------------------ #
 
-    def render_pass(self, seed0, cumm_spp):
-        """One 1-spp pass; accumulates film moments; returns the box image
-        of this pass ((H,W,3) numpy-convertible) and rays cast."""
+    def render_pass(self, seed0, cumm_spp, spp=1):
+        """One pass of ``spp`` samples/pixel (single wavefront dispatch
+        when supported); accumulates film moments; returns the
+        filter-developed pass image ((H,W,3)) and rays cast."""
+        if spp > 1 and (self.mesh is not None or self._stepped):
+            # mesh/stepped paths dispatch per-sample; average the images
+            img = None
+            rays_tot = 0.0
+            for sub in range(spp):
+                im, r = self.render_pass(seed0, cumm_spp + sub)
+                img = im if img is None else img + im
+                rays_tot += r
+            return img / spp, rays_tot
         if self.mesh is not None:
             from ..parallel.sharding import guided_pass_sharded
 
@@ -165,7 +175,7 @@ class PathGuidingIntegrator:
         else:
             L, px, py, rays, recs = self._jit_wave(
                 self.scene, self.dev_tree, seed0, cumm_spp, self.iteration,
-                record=not self.is_final,
+                record=not self.is_final, spp=spp,
             )
             if not self.is_final:
                 self.dev_tree = _splat_jit(self.dev_tree, recs, L, seed0, cumm_spp)
@@ -242,20 +252,24 @@ class PathTracingIntegrator:
         self.sum_l = jnp.zeros((n, 3))
         self.sum_l2 = jnp.zeros((n, 3))
         self._stepped = _stepped_backend()
-        self._jit_pass = jax.jit(pt_render_pass, static_argnames=("jitter",))
+        self._jit_pass = jax.jit(
+            pt_render_pass, static_argnames=("jitter", "spp")
+        )
 
     def resetVarianceCounter(self):
         self.sum_l = jnp.zeros_like(self.sum_l)
         self.sum_l2 = jnp.zeros_like(self.sum_l2)
 
-    def render_pass(self, seed0, pass_index):
+    def render_pass(self, seed0, pass_index, spp=1):
         if self._stepped:
             lane_ids, px, py = _film_jit()(self.scene, seed0, pass_index)
             L, rays = render_wavefront_stepped(
                 self.scene, seed0, pass_index, lane_ids, px, py
             )
         else:
-            L, px, py, rays = self._jit_pass(self.scene, seed0, pass_index)
+            L, px, py, rays = self._jit_pass(
+                self.scene, seed0, pass_index, spp=spp
+            )
         self.sum_l, self.sum_l2 = var_mod.accumulate_moments(
             self.sum_l, self.sum_l2, L, px, py, self.scene.camera.width
         )

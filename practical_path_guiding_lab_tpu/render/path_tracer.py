@@ -256,10 +256,13 @@ def render_wavefront_stepped(scene, seed0, pass_index, lane_ids, px, py):
     return nan_to_zero(L), state["rays_cast"]
 
 
-def render_pass(scene, seed0, pass_index, jitter=True):
-    """Render one 1-spp pass over the full film; returns per-sample
-    radiance (H*W, 3) plus film coordinates (reference renders training
-    iterations 1 spp per pass, main.py:192)."""
+def render_pass(scene, seed0, pass_index, jitter=True, spp=1):
+    """Render one pass over the full film; returns per-sample radiance
+    ((H*W*spp, 3)) plus film coordinates. The reference renders training
+    iterations 1 spp per pass (main.py:192) and the final iteration in
+    4-spp batches (main.py:123); ``spp`` > 1 traces all samples in ONE
+    wavefront dispatch, amortizing the fixed per-dispatch cost over a
+    larger in-flight ray count."""
     w, h = scene.camera.width, scene.camera.height
     n = w * h
     yy, xx = jnp.meshgrid(
@@ -267,9 +270,9 @@ def render_pass(scene, seed0, pass_index, jitter=True):
         jnp.arange(w, dtype=jnp.float32),
         indexing="ij",
     )
-    px = xx.reshape(-1)
-    py = yy.reshape(-1)
-    lane_ids = jnp.arange(n, dtype=jnp.int32)
+    px = jnp.tile(xx.reshape(-1), spp)
+    py = jnp.tile(yy.reshape(-1), spp)
+    lane_ids = jnp.arange(n * spp, dtype=jnp.int32)
     if jitter:
         u1, u2 = rng.uniform2(seed0, pass_index, 0, rng.PurposeId.CAMERA, lane_ids)
         px = px + u1

@@ -81,3 +81,32 @@ def test_rr_modes(monkeypatch):
     tp_tiny = jnp.full((n, 3), 0.01)
     tp_c2, _ = pt.apply_rr(tp_tiny, eta, u, True, n)
     assert np.allclose(np.asarray(tp_c2), 0.1)  # 0.01 / 0.1 floor
+
+
+def test_multi_spp_single_dispatch(cornell_small):
+    """spp>1 traces all samples in one wavefront; statistics must match
+    the equivalent 1-spp pass loop (different RNG streams, same mean)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from practical_path_guiding_lab_tpu.render.path_tracer import render_pass
+
+    scene = cornell_small
+    acc = None
+    rays1 = 0.0
+    for p in range(4):
+        L, _, _, r = render_pass(scene, 0, p, True)
+        acc = L if acc is None else acc + L
+        rays1 += float(r)
+    m1 = float(jnp.mean(acc)) / 4
+
+    L4, px, py, r4 = render_pass(scene, 7, 0, True, spp=4)
+    assert L4.shape[0] == 4 * scene.camera.width * scene.camera.height
+    m4 = float(jnp.mean(L4))
+    assert abs(m4 - m1) / m1 < 0.05, (m1, m4)
+    # similar ray counts (same RR statistics)
+    assert abs(float(r4) - rays1) / rays1 < 0.05
+    # film coordinates cover each pixel spp times
+    idx = (np.asarray(py).astype(int) * scene.camera.width
+           + np.asarray(px).astype(int))
+    counts = np.bincount(idx, minlength=scene.camera.width * scene.camera.height)
+    assert (counts == 4).all()
