@@ -33,6 +33,7 @@ from flax import struct
 KD_SPLIT_C = 12000.0  # reference kdtree.py:329-330
 QUAD_FLUX_FRACTION = 0.01  # reference quadtree.py:519
 GRID_L = 5  # point-location grid depth (32x32 cells per tree)
+SUB_L = 4  # per-cell subgrid depth: level-2 resolves leaves to GRID_L+SUB_L
 INV_FOUR_PI = 1.0 / (4.0 * np.pi)
 
 
@@ -67,14 +68,15 @@ class SDTreeDevice:
     leaf_depth: jnp.ndarray     # (NQ,) int32
     root_leaf_off: jnp.ndarray  # (R,) int32
     root_leaf_cnt: jnp.ndarray  # (R,) int32
-    # --- gather-diet tables (XLA TPU gathers cost ~7 ms per instruction at
-    # ~1M lanes regardless of row width <= 16, so every tree op is
-    # restructured to one or two packed row gathers) ---
+    # --- gather-diet tables (XLA TPU gathers cost ~7-19 ms per instruction
+    # at ~1M lanes, and wide rows cost ~2x narrow ones — measured round 3:
+    # 1-wide 18.7 ms, 16-wide 41.7 ms at 921600 lanes — so every tree op is
+    # restructured to one or two NARROW row gathers) ---
     # dense 3-D point-location grid: exact because the reference kd-tree
     # splits midpoints on axis = depth % 3 (kdtree.py:277) — an octree in
-    # disguise; cell bits per axis cover kd_max_depth levels
-    kd_grid_leaf: jnp.ndarray = None  # (GX*GY*GZ,) int32 kd leaf index
-    kd_grid_slot: jnp.ndarray = None  # (GX*GY*GZ,) int32 root slot
+    # disguise; cell bits per axis cover kd_max_depth levels. One packed
+    # (G, 2) int32 row [kd leaf, root slot] = one gather instruction.
+    kd_grid2: jnp.ndarray = None      # (GX*GY*GZ, 2) int32 [leaf, slot]
     # per-slot packed row: [root_f, leaf_off_f, leaf_cnt_f, root_irr, ...]
     slot_row: jnp.ndarray = None      # (R, 8) float32
     # hemisphere-mass per 27 quantized normals (adaptive fraction)
@@ -83,9 +85,17 @@ class SDTreeDevice:
     alias_pack: jnp.ndarray = None    # (NQ, 4) f32 [prob, other_pos_f, -, -]
     # per-leaf-list-slot geometry row: [lo_x, lo_y, size, pdf]
     leaf_geom: jnp.ndarray = None     # (NQ, 4) float32
-    # per-(slot, grid cell) pdf: >= 0 -> final pdf (leaf at/above grid
-    # depth); < 0 -> -(node+1) to continue descending from
+    # per-(slot, grid cell) pdf: >= 0 -> final pdf (covering node is a
+    # leaf); < 0 -> -(sub_idx+1) into the level-2 subgrid pool
     grid_pdf: jnp.ndarray = None      # (R * 4^GRID_L,) float32
+    # per-(slot, grid cell) leaf node id (point location / splat):
+    # >= 0 -> leaf node; < 0 -> -(sub_idx+1) into the subgrid pool
+    grid_leafnode: jnp.ndarray = None  # (R * 4^GRID_L,) int32
+    # level-2 subgrid pool (4^SUB_L cells per entry, covering quad depths
+    # (GRID_L, GRID_L+SUB_L]): same encodings, < 0 -> -(node+1) residual
+    # descent from depth GRID_L+SUB_L (rare: leaves deeper than 9)
+    sub_pdf: jnp.ndarray = None       # (SUBCAP * 4^SUB_L,) float32
+    sub_node: jnp.ndarray = None      # (SUBCAP * 4^SUB_L,) int32
     # packed quad node row for residual descents: [c0..c3, irr_kid0..3]
     q_pack: jnp.ndarray = None        # (NQ, 8) float32
     # per-kd-node world-space extents (for stochastic spatial splat
@@ -95,6 +105,7 @@ class SDTreeDevice:
     kd_max_depth: int = struct.field(pytree_node=False, default=20)
     quad_max_depth: int = struct.field(pytree_node=False, default=20)
     grid_l: int = struct.field(pytree_node=False, default=GRID_L)
+    sub_l: int = struct.field(pytree_node=False, default=SUB_L)
     kd_grid_bits: tuple = struct.field(pytree_node=False, default=(7, 7, 6))
     # isStoreNEERadiance: gate for the NEE irradiance splat stream
     # (reference quadtree.py:455-464); static so the splat specializes
@@ -621,7 +632,11 @@ class SDTree:
         q_pack[:, 9] = self.q_irr
 
         # per-(slot, cell) pdf grid: covering node leaf -> final pdf;
-        # internal -> -(node+1); zero-flux root -> uniform 1/4pi
+        # internal -> -(sub_idx+1) into the level-2 subgrid pool; zero-flux
+        # root -> uniform 1/4pi. The subgrid resolves point location to
+        # depth GRID_L+SUB_L so pdf/leaf queries are 2 narrow gathers with
+        # the residual descent lax.cond-skipped (leaves deeper than 9 are
+        # rare: ajar-trained trees max out at depth 8-9).
         gn = grid_node[:n_slots] if n_slots else grid_node[:0]
         node_leaf = self.q_child[gn, 0] < 0
         with np.errstate(invalid="ignore", divide="ignore"):
@@ -631,13 +646,60 @@ class SDTree:
                 * INV_FOUR_PI
                 / np.maximum(root_irr[:, None], 1e-30)
             )
-        val = np.where(node_leaf, pdf_leaf, -(gn + 1.0))
+        internal = ~node_leaf                       # (S, cells)
+        n_sub = int(internal.sum())
+        sub_of_cell = np.cumsum(internal.reshape(-1)).reshape(internal.shape)
+        sub_of_cell = (sub_of_cell - 1).astype(np.int64)
+        val = np.where(node_leaf, pdf_leaf, -(sub_of_cell + 1.0))
         val = np.where(root_irr[:, None] > 0, val, INV_FOUR_PI)
         grid_pdf = np.zeros((max_roots, cells), np.float32)
         if n_slots:
             grid_pdf[:n_slots] = val
+        gleaf = np.zeros((max_roots, cells), np.int32)
+        if n_slots:
+            gleaf[:n_slots] = np.where(
+                node_leaf, gn, -(sub_of_cell.astype(np.int32) + 1)
+            )
+
+        # level-2 subgrids: expand each internal covering node (depth
+        # exactly GRID_L) down SUB_L levels, spatial [y][x] layout. Child
+        # quadrant of sub-half (hx, hy): 0=(1,1) 1=(0,1) 2=(0,0) 3=(1,0).
+        sres = 1 << SUB_L
+        sub_cap = 2048
+        while sub_cap < max(n_sub, 1):
+            sub_cap *= 2
+        sub_pdf = np.zeros((sub_cap, sres * sres), np.float32)
+        sub_node = np.zeros((sub_cap, sres * sres), np.int32)
+        if n_sub:
+            cur = gn[internal].reshape(n_sub, 1, 1)
+            for _ in range(SUB_L):
+                isleaf = self.q_child[cur, 0] < 0
+                kids = self.q_child[cur]            # (n_sub, r, r, 4)
+                r = cur.shape[1]
+                new = np.empty((n_sub, 2 * r, 2 * r), np.int32)
+                for (hx, hy), q in (
+                    ((1, 1), 0), ((0, 1), 1), ((0, 0), 2), ((1, 0), 3),
+                ):
+                    new[:, hy::2, hx::2] = np.where(isleaf, cur, kids[..., q])
+                cur = new
+            leaf_s = self.q_child[cur, 0] < 0       # (n_sub, sres, sres)
+            slot_of_sub = np.nonzero(internal)[0]   # row-major = cumsum order
+            with np.errstate(invalid="ignore", divide="ignore"):
+                pdf_s = (
+                    self.q_irr[cur]
+                    * np.exp2(2.0 * self.q_depth[cur])
+                    * INV_FOUR_PI
+                    / np.maximum(root_irr[slot_of_sub][:, None, None], 1e-30)
+                )
+            sub_pdf[:n_sub] = np.where(
+                leaf_s, pdf_s, -(cur + 1.0)
+            ).reshape(n_sub, -1)
+            sub_node[:n_sub] = np.where(leaf_s, cur, -(cur + 1)).reshape(
+                n_sub, -1
+            )
 
         gl, gs, bits = self._build_kd_grid(root_slot)
+        kd_grid2 = np.stack([gl, gs], axis=-1).astype(np.int32)
 
         # per-kd-node extents: axis a halves len(range(a, depth, 3)) times
         size = np.maximum(self.bbox_hi - self.bbox_lo, 1e-9)
@@ -648,9 +710,11 @@ class SDTree:
             halvings = np.maximum(halvings, 0)
             kd_ext[:, a] = size[a] * np.exp2(-halvings.astype(np.float32))
         return dict(
-            kd_grid_leaf=gl, kd_grid_slot=gs, kd_grid_bits=bits,
+            kd_grid2=kd_grid2, kd_grid_bits=bits,
             slot_row=slot_row, hemi_tab=hemi, alias_pack=alias_pack,
             leaf_geom=leaf_geom, grid_pdf=grid_pdf.reshape(-1),
+            grid_leafnode=gleaf.reshape(-1),
+            sub_pdf=sub_pdf.reshape(-1), sub_node=sub_node.reshape(-1),
             q_pack=q_pack, kd_ext=kd_ext,
         )
 
@@ -679,18 +743,21 @@ class SDTree:
             leaf_depth=jnp.asarray(tables["leaf_depth"]),
             root_leaf_off=jnp.asarray(tables["root_leaf_off"]),
             root_leaf_cnt=jnp.asarray(tables["root_leaf_cnt"]),
-            kd_grid_leaf=jnp.asarray(fast2["kd_grid_leaf"]),
-            kd_grid_slot=jnp.asarray(fast2["kd_grid_slot"]),
+            kd_grid2=jnp.asarray(fast2["kd_grid2"]),
             slot_row=jnp.asarray(fast2["slot_row"]),
             hemi_tab=jnp.asarray(fast2["hemi_tab"]),
             alias_pack=jnp.asarray(fast2["alias_pack"]),
             leaf_geom=jnp.asarray(fast2["leaf_geom"]),
             grid_pdf=jnp.asarray(fast2["grid_pdf"]),
+            grid_leafnode=jnp.asarray(fast2["grid_leafnode"]),
+            sub_pdf=jnp.asarray(fast2["sub_pdf"]),
+            sub_node=jnp.asarray(fast2["sub_node"]),
             q_pack=jnp.asarray(fast2["q_pack"]),
             kd_ext=jnp.asarray(fast2["kd_ext"]),
             kd_max_depth=self.kd_max_depth,
             quad_max_depth=self.quad_max_depth,
             grid_l=GRID_L,
+            sub_l=SUB_L,
             kd_grid_bits=fast2["kd_grid_bits"],
             store_nee=bool(self.store_nee),
         )
@@ -1437,15 +1504,16 @@ def kd_lookup_grid(tree: SDTreeDevice, p):
     """Dense-grid point query -> (kd leaf index, root slot, slot_row).
 
     Exact equivalent of the kd descent (midpoint splits on axis = depth%3),
-    2 gathers instead of ~4 x depth."""
+    2 gathers (packed [leaf, slot] row + slot_row) instead of ~4 x depth."""
     bx, by, bz = tree.kd_grid_bits
     x = (p - tree.bbox_lo) * tree.bbox_inv_size
     ix = jnp.clip((x[..., 0] * (1 << bx)).astype(jnp.int32), 0, (1 << bx) - 1)
     iy = jnp.clip((x[..., 1] * (1 << by)).astype(jnp.int32), 0, (1 << by) - 1)
     iz = jnp.clip((x[..., 2] * (1 << bz)).astype(jnp.int32), 0, (1 << bz) - 1)
     cell = (ix << (by + bz)) | (iy << bz) | iz
-    kd_leaf = tree.kd_grid_leaf[cell]
-    slot = tree.kd_grid_slot[cell]
+    row = tree.kd_grid2[cell]
+    kd_leaf = row[..., 0]
+    slot = row[..., 1]
     srow = tree.slot_row[jnp.maximum(slot, 0)]
     return kd_leaf, slot, srow
 
@@ -1509,73 +1577,110 @@ def _residual_quadrant(row, xy):
     return child, ratio, is_leaf
 
 
-def quad_pdf_fast2(tree: SDTreeDevice, slot, srow, xy):
-    """Grid-accelerated pdf: 1 flat gather resolves cells whose covering
-    node at grid depth is a leaf; deeper cells descend with packed rows."""
+def _two_level_cells(tree: SDTreeDevice, xy):
+    """Level-1 cell index + level-2 subcell index of canonical points."""
     res = 1 << tree.grid_l
-    cx = jnp.clip((xy[..., 0] * res).astype(jnp.int32), 0, res - 1)
-    cy = jnp.clip((xy[..., 1] * res).astype(jnp.int32), 0, res - 1)
-    base = jnp.maximum(slot, 0) * (res * res)
-    v = tree.grid_pdf[base + cy * res + cx]
+    sres = 1 << tree.sub_l
+    fx = xy[..., 0] * res
+    fy = xy[..., 1] * res
+    cx = jnp.clip(fx.astype(jnp.int32), 0, res - 1)
+    cy = jnp.clip(fy.astype(jnp.int32), 0, res - 1)
+    sx = jnp.clip(((fx - cx) * sres).astype(jnp.int32), 0, sres - 1)
+    sy = jnp.clip(((fy - cy) * sres).astype(jnp.int32), 0, sres - 1)
+    return cy * res + cx, sy * sres + sx
+
+
+def quad_pdf_fast2(tree: SDTreeDevice, slot, srow, xy):
+    """Two-level-grid pdf: the pdf of a direction IS the pdf of the leaf
+    containing it, so this is point location — 1 narrow gather resolves
+    cells whose covering node at grid depth is a leaf, 1 more resolves to
+    depth grid_l+sub_l via the subgrid pool; the packed-row residual
+    descent for deeper leaves is lax.cond-skipped when no lane needs it."""
+    res = 1 << tree.grid_l
+    sres = 1 << tree.sub_l
+    cell, subcell = _two_level_cells(tree, xy)
+    v = tree.grid_pdf[jnp.maximum(slot, 0) * (res * res) + cell]
     done0 = v >= 0
-    node0 = (-v).astype(jnp.int32) - 1
+    sub_cap = tree.sub_pdf.shape[0] // (sres * sres)
+    sub = jnp.clip((-v).astype(jnp.int32) - 1, 0, sub_cap - 1)
+    v2 = tree.sub_pdf[sub * (sres * sres) + subcell]
+    done1 = done0 | (v2 >= 0)
+    pdf01 = jnp.where(done0, jnp.maximum(v, 0.0), jnp.maximum(v2, 0.0))
+    node0 = (-v2).astype(jnp.int32) - 1  # depth grid_l+sub_l where ~done1
     root_irr = srow[..., 3]
 
-    # prefix pdf at the covering internal node: irr(n0)*4^grid_l/(4pi*irr_root)
-    def cond(carry):
-        i, node, mul, done = carry
-        return (i < tree.quad_max_depth) & ~jnp.all(done)
+    def tail(_):
+        row0 = tree.q_pack[jnp.maximum(node0, 0)]
+        prefix = (
+            row0[..., 9]
+            * jnp.exp2(2.0 * jnp.float32(tree.grid_l + tree.sub_l))
+            * INV_FOUR_PI
+            / jnp.maximum(root_irr, 1e-30)
+        )
 
-    def body(carry):
-        i, node, mul, done = carry
-        row = tree.q_pack[jnp.maximum(node, 0)]
-        child, ratio, is_leaf = _residual_quadrant(row, xy)
-        adv = ~done & ~is_leaf
-        mul2 = jnp.where(adv, mul * ratio, mul)
-        node2 = jnp.where(adv, child, node)
-        done2 = done | is_leaf
-        return i + 1, node2, mul2, done2
+        def cond(carry):
+            i, node, mul, done = carry
+            return (i < tree.quad_max_depth) & ~jnp.all(done)
 
-    row0 = tree.q_pack[jnp.maximum(node0, 0)]
-    prefix = jnp.where(
-        done0,
-        0.0,
-        row0[..., 9]
-        * jnp.exp2(2.0 * jnp.float32(tree.grid_l))
-        * INV_FOUR_PI
-        / jnp.maximum(root_irr, 1e-30),
+        def body(carry):
+            i, node, mul, done = carry
+            row = tree.q_pack[jnp.maximum(node, 0)]
+            child, ratio, is_leaf = _residual_quadrant(row, xy)
+            adv = ~done & ~is_leaf
+            mul2 = jnp.where(adv, mul * ratio, mul)
+            node2 = jnp.where(adv, child, node)
+            return i + 1, node2, mul2, done | is_leaf
+
+        _, _, mul, _ = jax.lax.while_loop(
+            cond,
+            body,
+            (jnp.int32(0), node0, jnp.ones(xy.shape[:-1], jnp.float32), done1),
+        )
+        return prefix * mul
+
+    pdf_tail = jax.lax.cond(
+        jnp.any(~done1),
+        tail,
+        lambda _: jnp.zeros(xy.shape[:-1], jnp.float32),
+        None,
     )
-    _, _, mul, _ = jax.lax.while_loop(
-        cond,
-        body,
-        (jnp.int32(0), node0, jnp.ones(xy.shape[:-1], jnp.float32), done0),
-    )
-    pdf = jnp.where(done0, jnp.maximum(v, 0.0), prefix * mul)
+    pdf = jnp.where(done1, pdf01, pdf_tail)
     return jnp.where(jnp.isfinite(pdf), pdf, 0.0)
 
 
 def quad_leaf_lookup_fast2(tree: SDTreeDevice, slot, xy):
-    """Point location via grid_node + packed-row residual descent."""
+    """Two-level-grid point location: 2 narrow gathers resolve to depth
+    grid_l+sub_l; the residual descent is lax.cond-skipped when unused."""
     res = 1 << tree.grid_l
-    cx = jnp.clip((xy[..., 0] * res).astype(jnp.int32), 0, res - 1)
-    cy = jnp.clip((xy[..., 1] * res).astype(jnp.int32), 0, res - 1)
-    node = tree.grid_node.reshape(-1)[
-        jnp.maximum(slot, 0) * (res * res) + cy * res + cx
-    ]
+    sres = 1 << tree.sub_l
+    cell, subcell = _two_level_cells(tree, xy)
+    g = tree.grid_leafnode[jnp.maximum(slot, 0) * (res * res) + cell]
+    done0 = g >= 0
+    sub_cap = tree.sub_node.shape[0] // (sres * sres)
+    sub = jnp.clip(-g - 1, 0, sub_cap - 1)
+    n2 = tree.sub_node[sub * (sres * sres) + subcell]
+    done1 = done0 | (n2 >= 0)
+    node01 = jnp.where(done0, g, jnp.maximum(n2, 0))
+    node0 = -n2 - 1  # internal node at depth grid_l+sub_l where ~done1
 
-    def cond(carry):
-        i, node, done = carry
-        return (i < tree.quad_max_depth) & ~jnp.all(done)
+    def tail(_):
+        def cond(carry):
+            i, node, done = carry
+            return (i < tree.quad_max_depth) & ~jnp.all(done)
 
-    def body(carry):
-        i, node, done = carry
-        row = tree.q_pack[jnp.maximum(node, 0)]
-        child, _, is_leaf = _residual_quadrant(row, xy)
-        node2 = jnp.where(done | is_leaf, node, child)
-        return i + 1, node2, done | is_leaf
+        def body(carry):
+            i, node, done = carry
+            row = tree.q_pack[jnp.maximum(node, 0)]
+            child, _, is_leaf = _residual_quadrant(row, xy)
+            node2 = jnp.where(done | is_leaf, node, child)
+            return i + 1, node2, done | is_leaf
 
-    # resolve "is node already a leaf" in the first loop iteration
-    _, node, _ = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), node, jnp.zeros(xy.shape[:-1], bool))
+        _, node, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), jnp.maximum(node0, 0), done1)
+        )
+        return node
+
+    node_tail = jax.lax.cond(
+        jnp.any(~done1), tail, lambda _: jnp.zeros_like(node01), None
     )
-    return node
+    return jnp.where(done1, node01, node_tail)
