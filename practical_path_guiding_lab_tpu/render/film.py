@@ -61,3 +61,61 @@ def splat_filtered(width, height, px, py, value, rfilter: str):
 
 def develop(img_sum, wgt_sum):
     return img_sum / jnp.maximum(wgt_sum, 1e-12)[..., None]
+
+
+def _shift2d(a, oy, ox):
+    """Shift an (..., H, W, C) image by (oy, ox) with zero fill (content
+    that would leave the film is dropped, like the splat bounds check)."""
+    h, w = a.shape[-3], a.shape[-2]
+    pad = [(0, 0)] * (a.ndim - 3) + [
+        (max(oy, 0), max(-oy, 0)),
+        (max(ox, 0), max(-ox, 0)),
+        (0, 0),
+    ]
+    a = jnp.pad(a, pad)
+    ys = max(-oy, 0)
+    xs = max(-ox, 0)
+    return a[..., ys:ys + h, xs:xs + w, :]
+
+
+def splat_filtered_aligned(width, height, px, py, value, rfilter: str):
+    """Scatter-free splat for pixel-aligned jittered samples.
+
+    When lanes come from the film prologue (pixel-major, one sample per
+    pixel per spp slice, ``px = x + u1`` with ``u1 in [0,1)``), the filter
+    weight for stencil offset ``ox`` is ``|u1 - ox - 0.5|`` — independent
+    of the pixel — so the whole splat is elementwise products plus a few
+    statically-shifted adds (no TPU scatter). Numerically identical to
+    :func:`splat_filtered` on such samples.
+    """
+    kind = FILTER_IDS.get(rfilter, FILTER_TENT)
+    n = width * height
+    spp = px.shape[0] // n
+    u1 = (px - jnp.floor(px)).reshape(spp, height, width)
+    u2 = (py - jnp.floor(py)).reshape(spp, height, width)
+    val = value.reshape(spp, height, width, 3)
+    if kind == FILTER_BOX:
+        return (
+            val.sum(axis=0),
+            jnp.full((height, width), float(spp)),
+        )
+    radius = 1 if kind == FILTER_TENT else 2
+    img = jnp.zeros((height, width, 3))
+    wgt = jnp.zeros((height, width))
+    for oy in range(-radius, radius + 1):
+        for ox in range(-radius, radius + 1):
+            fx = jnp.abs(u1 - (ox + 0.5))
+            fy = jnp.abs(u2 - (oy + 0.5))
+            if kind == FILTER_TENT:
+                w = jnp.maximum(1.0 - fx, 0.0) * jnp.maximum(1.0 - fy, 0.0)
+            else:
+                sig2 = 2.0 * 0.5 * 0.5
+                cutoff = jnp.exp(-(radius * radius) / sig2)
+                wx = jnp.maximum(jnp.exp(-(fx * fx) / sig2) - cutoff, 0.0)
+                wy = jnp.maximum(jnp.exp(-(fy * fy) / sig2) - cutoff, 0.0)
+                w = wx * wy
+            img = img + _shift2d(val * w[..., None], oy, ox).sum(axis=0)
+            wgt = wgt + _shift2d(
+                w[..., None], oy, ox
+            )[..., 0].sum(axis=0)
+    return img, wgt

@@ -29,7 +29,9 @@ def develop_pass_image(scene, L, px, py):
         w, h, rf = key
 
         def fn(L, px, py):
-            img, wgt = film_mod.splat_filtered(w, h, px, py, L, rf)
+            # lanes are always pixel-major aligned (film prologue), so the
+            # scatter-free shifted-add splat applies
+            img, wgt = film_mod.splat_filtered_aligned(w, h, px, py, L, rf)
             return film_mod.develop(img, wgt)
 
         _SPLAT_JITS[key] = jax.jit(fn)
@@ -179,8 +181,8 @@ class PathGuidingIntegrator:
             )
             if not self.is_final:
                 self.dev_tree = _splat_jit(self.dev_tree, recs, L, seed0, cumm_spp)
-        self.sum_l, self.sum_l2 = var_mod.accumulate_moments(
-            self.sum_l, self.sum_l2, L, px, py, self.scene.camera.width
+        self.sum_l, self.sum_l2 = var_mod.accumulate_moments_aligned(
+            self.sum_l, self.sum_l2, L
         )
         img = develop_pass_image(self.scene, L, px, py)
         return img, float(rays)
@@ -270,8 +272,8 @@ class PathTracingIntegrator:
             L, px, py, rays = self._jit_pass(
                 self.scene, seed0, pass_index, spp=spp
             )
-        self.sum_l, self.sum_l2 = var_mod.accumulate_moments(
-            self.sum_l, self.sum_l2, L, px, py, self.scene.camera.width
+        self.sum_l, self.sum_l2 = var_mod.accumulate_moments_aligned(
+            self.sum_l, self.sum_l2, L
         )
         img = develop_pass_image(self.scene, L, px, py)
         return img, float(rays)

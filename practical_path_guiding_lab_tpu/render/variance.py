@@ -23,6 +23,17 @@ def accumulate_moments(sum_l, sum_l2, L, px, py, width):
 
 
 @jax.jit
+def accumulate_moments_aligned(sum_l, sum_l2, L):
+    """Scatter-free moment accumulation for film-prologue lane order
+    (pixel-major, spp slices tiled): the scatter index is exactly
+    ``tile(arange(n), spp)``, so the update is a reshape-sum + add."""
+    n = sum_l.shape[0]
+    spp = L.shape[0] // n
+    Ls = L.reshape(spp, n, 3)
+    return sum_l + Ls.sum(axis=0), sum_l2 + (Ls * Ls).sum(axis=0)
+
+
+@jax.jit
 def compute_mse(sum_l, spp, gt):
     """Luminance MSE of the mean image vs ground truth, clamped at 1e4
     (reference computeMSE, path_guiding_integrator.py:503-517)."""

@@ -68,3 +68,56 @@ def test_box_is_nearest_pixel():
     img, wgt = splat_filtered(w, h, px, py, val, "box")
     wgt = np.asarray(wgt)
     assert wgt[0, 2] == 1.0 and wgt[7, 6] == 1.0 and wgt.sum() == 2.0
+
+
+def test_aligned_splat_matches_scatter():
+    """splat_filtered_aligned on pixel-major jittered lanes is numerically
+    identical to the scatter-based splat_filtered (incl. off-film drops)."""
+    from practical_path_guiding_lab_tpu.render.film import (
+        splat_filtered_aligned,
+    )
+
+    w, h = 13, 9
+    rng = np.random.default_rng(3)
+    for spp in (1, 3):
+        n = w * h * spp
+        yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        px = jnp.asarray(
+            np.tile(xx.reshape(-1), spp) + rng.random(n), jnp.float32
+        )
+        py = jnp.asarray(
+            np.tile(yy.reshape(-1), spp) + rng.random(n), jnp.float32
+        )
+        val = jnp.asarray(rng.random((n, 3)), jnp.float32)
+        for rf in ("box", "tent", "gaussian"):
+            img0, wgt0 = splat_filtered(w, h, px, py, val, rf)
+            img1, wgt1 = splat_filtered_aligned(w, h, px, py, val, rf)
+            np.testing.assert_allclose(
+                np.asarray(img1), np.asarray(img0), rtol=1e-5, atol=1e-6
+            )
+            np.testing.assert_allclose(
+                np.asarray(wgt1), np.asarray(wgt0), rtol=1e-5, atol=1e-6
+            )
+
+
+def test_aligned_moments_match_scatter():
+    from practical_path_guiding_lab_tpu.render import variance as var_mod
+
+    w, h = 11, 7
+    rng = np.random.default_rng(5)
+    for spp in (1, 2):
+        n = w * h
+        yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        px = jnp.asarray(
+            np.tile(xx.reshape(-1), spp) + rng.random(n * spp), jnp.float32
+        )
+        py = jnp.asarray(
+            np.tile(yy.reshape(-1), spp) + rng.random(n * spp), jnp.float32
+        )
+        L = jnp.asarray(rng.random((n * spp, 3)), jnp.float32)
+        s0 = jnp.asarray(rng.random((n, 3)), jnp.float32)
+        s20 = jnp.asarray(rng.random((n, 3)), jnp.float32)
+        a0, b0 = var_mod.accumulate_moments(s0, s20, L, px, py, w)
+        a1, b1 = var_mod.accumulate_moments_aligned(s0, s20, L)
+        np.testing.assert_allclose(np.asarray(a1), np.asarray(a0), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(b1), np.asarray(b0), rtol=1e-6)
