@@ -83,6 +83,21 @@ def _draw(seed0, pass_index, bounce, purpose, lane_ids, slot):
     return threefry2x32(k0, k1, lanes, x1)
 
 
+def spp_fold(pass_index, lane_ids, n_film):
+    """Key multi-spp single-dispatch wavefronts per spp-slice.
+
+    Lane ``i`` of slice ``s`` (global lane ``s*n_film + i``) draws from the
+    stream ``(pass_index + s, i)`` — exactly the stream a sequential 1-spp
+    pass at ``pass_index + s`` would use. A k-spp dispatch is therefore
+    bitwise-identical to k sequential passes (and to the sharded per-pass
+    path). No-op for lanes < n_film."""
+    lane = lane_ids.astype(jnp.uint32)
+    n = jnp.uint32(n_film)
+    return pass_index + (lane // n).astype(jnp.int32), (lane % n).astype(
+        jnp.int32
+    )
+
+
 def uniform1(seed0, pass_index, bounce, purpose, lane_ids):
     a, _ = _draw(seed0, pass_index, bounce, purpose, lane_ids, 0)
     return _to_unit(a)

@@ -111,13 +111,19 @@ def guided_pass_sharded(
             record=record, bsdf_fraction=bsdf_fraction,
         )
         if record:
+            # the accumulators CARRY previous passes' already-psum'd
+            # totals; all-reduce only this pass's local delta over ICI
+            # (psum of the carried part would multiply it by n_dev each
+            # pass — 8^passes blowup)
+            kd_acc0, q_acc0 = tree.kd_vert_acc, tree.q_irr_acc
             tree2 = process_and_splat(
                 tree, recs, L, seed0, pass_index, lane_offset=lane_s[0]
             )
-            # all-reduce the splat histograms over ICI
             tree2 = tree2.replace(
-                kd_vert_acc=jax.lax.psum(tree2.kd_vert_acc, "dp"),
-                q_irr_acc=jax.lax.psum(tree2.q_irr_acc, "dp"),
+                kd_vert_acc=kd_acc0
+                + jax.lax.psum(tree2.kd_vert_acc - kd_acc0, "dp"),
+                q_irr_acc=q_acc0
+                + jax.lax.psum(tree2.q_irr_acc - q_acc0, "dp"),
             )
         else:
             tree2 = tree

@@ -103,6 +103,11 @@ def _bounce_body(scene, tree_prev, seed0, pass_index, iteration,
     by s["lane"] (original sample ids)."""
     lane_ids = s["lane"]
     n_rays = lane_ids.shape[0]
+    # per-spp-slice RNG streams: multi-spp dispatches reproduce sequential
+    # 1-spp passes bitwise (rng.spp_fold)
+    rpass, rlane = rng.spp_fold(
+        pass_index, lane_ids, scene.camera.width * scene.camera.height
+    )
     record = "recs" in s
     use_guiding = iteration > 1  # reference :223,283 — traced scalar is fine
     s = dict(s)
@@ -141,8 +146,8 @@ def _bounce_body(scene, tree_prev, seed0, pass_index, iteration,
 
     # --- NEE sampling (emitter side) ---
     ctx = bsdf_mod.make_context(scene, si)
-    u_sel = rng.uniform1(seed0, pass_index, depth, rng.PurposeId.NEE_SELECT, lane_ids)
-    u1, u2 = rng.uniform2(seed0, pass_index, depth, rng.PurposeId.NEE_POS, lane_ids)
+    u_sel = rng.uniform1(seed0, rpass, depth, rng.PurposeId.NEE_SELECT, rlane)
+    u1, u2 = rng.uniform2(seed0, rpass, depth, rng.PurposeId.NEE_POS, rlane)
     nee = em_mod.sample_nee(em, scene.tris, si.p, u_sel, u1, u2)
     f_nee, pdf_bsdf_nee = bsdf_mod.eval_pdf(ctx, si.wi_world, nee["wo"])
     smooth_frac = bsdf_mod.smooth_fraction(ctx, si.wi_world)
@@ -156,11 +161,11 @@ def _bounce_body(scene, tree_prev, seed0, pass_index, iteration,
     s["rays_cast"] = s["rays_cast"] + jnp.sum(hit.astype(jnp.float32))
 
     # --- one-sample-MIS direction: BSDF vs SD-tree (:272-311) ---
-    ub0, ub1, ub2 = rng.uniform3(seed0, pass_index, depth, rng.PurposeId.BSDF_SAMPLE, lane_ids)
+    ub0, ub1, ub2 = rng.uniform3(seed0, rpass, depth, rng.PurposeId.BSDF_SAMPLE, rlane)
     bs = bsdf_mod.sample(ctx, si.wi_world, ub0, ub1, ub2)
 
-    u_guide = rng.uniform1(seed0, pass_index, depth, rng.PurposeId.GUIDE_SELECT, lane_ids)
-    g1, g2 = rng.uniform2(seed0, pass_index, depth, rng.PurposeId.GUIDE_DIR, lane_ids)
+    u_guide = rng.uniform1(seed0, rpass, depth, rng.PurposeId.GUIDE_SELECT, rlane)
+    g1, g2 = rng.uniform2(seed0, rpass, depth, rng.PurposeId.GUIDE_DIR, rlane)
 
     # All SD-tree descents behind one lax.cond: unguided iterations
     # (0 and 1, and pure-PT comparisons) skip the gather-heavy tree work
@@ -302,7 +307,7 @@ def _bounce_body(scene, tree_prev, seed0, pass_index, iteration,
     tp_new = tp * bsdf_weight
     alive = hit & valid_dir & (jnp.max(tp_new, axis=-1) > 0)
     eta_scale = s["eta_scale"] * bs["eta"] ** 2
-    u_rr = rng.uniform1(seed0, pass_index, depth, rng.PurposeId.RR, lane_ids)
+    u_rr = rng.uniform1(seed0, rpass, depth, rng.PurposeId.RR, rlane)
     do_rr = depth >= scene.rr_depth
     from .path_tracer import apply_rr
 
@@ -484,9 +489,8 @@ def _film_samples(scene, seed0, pass_index, spp=1):
         indexing="ij",
     )
     lane_ids = jnp.arange(n * spp, dtype=jnp.int32)
-    u1, u2 = rng.uniform2(
-        seed0, pass_index, 0, rng.PurposeId.CAMERA, lane_ids
-    )
+    rpass, rlane = rng.spp_fold(pass_index, lane_ids, n)
+    u1, u2 = rng.uniform2(seed0, rpass, 0, rng.PurposeId.CAMERA, rlane)
     px = jnp.tile(xx.reshape(-1), spp) + u1
     py = jnp.tile(yy.reshape(-1), spp) + u2
     return lane_ids, px, py

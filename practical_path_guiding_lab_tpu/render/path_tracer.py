@@ -124,6 +124,11 @@ def _bounce_body(scene, seed0, pass_index, s):
     (original sample ids), so compaction never changes results."""
     lane_ids = s["lane"]
     n_rays = lane_ids.shape[0]
+    # per-spp-slice RNG streams: multi-spp dispatches reproduce sequential
+    # 1-spp passes bitwise (rng.spp_fold)
+    rpass, rlane = rng.spp_fold(
+        pass_index, lane_ids, scene.camera.width * scene.camera.height
+    )
     s = dict(s)
     depth = s["depth"]
 
@@ -162,8 +167,8 @@ def _bounce_body(scene, seed0, pass_index, s):
 
     # --- NEE ---
     ctx = bsdf_mod.make_context(scene, si)
-    u_sel = rng.uniform1(seed0, pass_index, depth, rng.PurposeId.NEE_SELECT, lane_ids)
-    u1, u2 = rng.uniform2(seed0, pass_index, depth, rng.PurposeId.NEE_POS, lane_ids)
+    u_sel = rng.uniform1(seed0, rpass, depth, rng.PurposeId.NEE_SELECT, rlane)
+    u1, u2 = rng.uniform2(seed0, rpass, depth, rng.PurposeId.NEE_POS, rlane)
     nee = em_mod.sample_nee(em, scene.tris, si.p, u_sel, u1, u2)
     f_nee, pdf_bsdf_nee = bsdf_mod.eval_pdf(ctx, si.wi_world, nee["wo"])
     nee_ok = hit & nee["valid"] & (nee["pdf"] > 0)
@@ -181,7 +186,7 @@ def _bounce_body(scene, seed0, pass_index, s):
     L = L + jnp.where(nee_ok[:, None], nan_to_zero(contrib), 0.0)
 
     # --- BSDF sampling ---
-    ub0, ub1, ub2 = rng.uniform3(seed0, pass_index, depth, rng.PurposeId.BSDF_SAMPLE, lane_ids)
+    ub0, ub1, ub2 = rng.uniform3(seed0, rpass, depth, rng.PurposeId.BSDF_SAMPLE, rlane)
     bs = bsdf_mod.sample(ctx, si.wi_world, ub0, ub1, ub2)
     tp_new = tp * bs["weight"]
     alive = hit & bs["valid"] & (jnp.max(tp_new, axis=-1) > 0)
@@ -189,7 +194,7 @@ def _bounce_body(scene, seed0, pass_index, s):
     # --- Russian roulette (reference: depth >= rr_depth, p <= 0.95,
     #     eta^2 correction; path_guiding_integrator.py:367-381) ---
     eta_scale = s["eta_scale"] * bs["eta"] ** 2
-    u_rr = rng.uniform1(seed0, pass_index, depth, rng.PurposeId.RR, lane_ids)
+    u_rr = rng.uniform1(seed0, rpass, depth, rng.PurposeId.RR, rlane)
     do_rr = depth >= scene.rr_depth  # scalar (loop counter)
     tp_new, survive = apply_rr(tp_new, eta_scale, u_rr, do_rr, n_rays)
     alive = alive & survive
@@ -274,7 +279,8 @@ def render_pass(scene, seed0, pass_index, jitter=True, spp=1):
     py = jnp.tile(yy.reshape(-1), spp)
     lane_ids = jnp.arange(n * spp, dtype=jnp.int32)
     if jitter:
-        u1, u2 = rng.uniform2(seed0, pass_index, 0, rng.PurposeId.CAMERA, lane_ids)
+        rpass, rlane = rng.spp_fold(pass_index, lane_ids, n)
+        u1, u2 = rng.uniform2(seed0, rpass, 0, rng.PurposeId.CAMERA, rlane)
         px = px + u1
         py = py + u2
     else:

@@ -110,3 +110,36 @@ def test_multi_spp_single_dispatch(cornell_small):
            + np.asarray(px).astype(int))
     counts = np.bincount(idx, minlength=scene.camera.width * scene.camera.height)
     assert (counts == 4).all()
+
+
+def test_multispp_dispatch_matches_sequential_passes():
+    """A k-spp single dispatch draws per-slice streams (rng.spp_fold), so
+    it must reproduce k sequential 1-spp passes bitwise."""
+    import warnings
+
+    import jax
+    import numpy as np
+
+    from practical_path_guiding_lab_tpu.render.path_tracer import render_pass
+    from practical_path_guiding_lab_tpu.scene import load_file
+    from practical_path_guiding_lab_tpu.scene.scene import compile_scene
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        s = compile_scene(
+            load_file(
+                f"{SCENES}/cornell-box/cornell-box-empty.xml",
+                resx=16, resy=16,
+            )
+        )
+    fn = jax.jit(render_pass, static_argnames=("jitter", "spp"))
+    L3, px3, py3, _ = fn(s, 7, 4, jitter=True, spp=3)
+    n = 16 * 16
+    for sub in range(3):
+        L1, px1, py1, _ = fn(s, 7, 4 + sub, jitter=True, spp=1)
+        np.testing.assert_array_equal(
+            np.asarray(L3[sub * n:(sub + 1) * n]), np.asarray(L1)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(px3[sub * n:(sub + 1) * n]), np.asarray(px1)
+        )
