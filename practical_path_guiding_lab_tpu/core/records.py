@@ -63,15 +63,25 @@ class PathRecords:
     wo_pdf: jnp.ndarray              # (D, N) one-sample-MIS mixture pdf
     bsdf_pdf: jnp.ndarray            # (D, N)
     is_delta: jnp.ndarray            # (D, N) bool
+    # trace-time-captured splat targets (-1 = not captured, e.g. the
+    # unguided iterations 0-1 where the bounce skips the tree work): the
+    # kd leaf of the vertex, the quad leaf of the recorded direction, and
+    # the quad leaf of the NEE direction — free byproducts of the bounce's
+    # own tree queries, so the splat needs no point location of its own
+    kd_leaf: jnp.ndarray             # (D, N) int32
+    q_leaf: jnp.ndarray              # (D, N) int32
+    q_leaf_nee: jnp.ndarray          # (D, N) int32
 
     @staticmethod
     def zeros(num_rays: int, max_depth: int) -> "PathRecords":
         n, d = num_rays, max_depth
         f = lambda *s: jnp.zeros((d, n) + s, jnp.float32)
+        neg = lambda: jnp.full((d, n), -1, jnp.int32)
         return PathRecords(
-            lane=jnp.full((d, n), -1, jnp.int32),
+            lane=neg(),
             position=f(3), canonical_dir=f(2),
             throughput_radiance=f(3), throughput_bsdf=f(3), bsdf_weight=f(3),
             nee_radiance=f(3), nee_dir=f(2),
             wo_pdf=f(), bsdf_pdf=f(), is_delta=jnp.zeros((d, n), bool),
+            kd_leaf=neg(), q_leaf=neg(), q_leaf_nee=neg(),
         )

@@ -83,19 +83,21 @@ class SDTreeDevice:
     hemi_tab: jnp.ndarray = None      # (R, 32) float32
     # Walker alias table over each root's leaf list (exact distribution)
     alias_pack: jnp.ndarray = None    # (NQ, 4) f32 [prob, other_pos_f, -, -]
-    # per-leaf-list-slot geometry row: [lo_x, lo_y, size, pdf]
-    leaf_geom: jnp.ndarray = None     # (NQ, 4) float32
-    # per-(slot, grid cell) pdf: >= 0 -> final pdf (covering node is a
-    # leaf); < 0 -> -(sub_idx+1) into the level-2 subgrid pool
-    grid_pdf: jnp.ndarray = None      # (R * 4^GRID_L,) float32
-    # per-(slot, grid cell) leaf node id (point location / splat):
-    # >= 0 -> leaf node; < 0 -> -(sub_idx+1) into the subgrid pool
-    grid_leafnode: jnp.ndarray = None  # (R * 4^GRID_L,) int32
+    # per-leaf-list-slot geometry row: [lo_x, lo_y, size, pdf, node_f]
+    # (node_f: the leaf's quad NODE id as f32 — exact below 2^24 — so the
+    # sampler returns the leaf it picked for free, for splat capture)
+    leaf_geom: jnp.ndarray = None     # (NQ, 5) float32
+    # per-(slot, grid cell) packed row [pdf_enc, node_enc]: a 2-wide gather
+    # costs the same as a 1-wide one (measured, PERF_NOTES), so pdf AND
+    # leaf node come from ONE gather. enc >= 0 -> final value (covering
+    # node is a leaf); enc < 0 -> -(sub_idx+1) into the level-2 subgrid
+    # pool. The zero-flux uniform-pdf fallback is applied at query time
+    # from srow's root_irr (the leaf id stays structural).
+    grid_pl: jnp.ndarray = None       # (R * 4^GRID_L, 2) float32
     # level-2 subgrid pool (4^SUB_L cells per entry, covering quad depths
     # (GRID_L, GRID_L+SUB_L]): same encodings, < 0 -> -(node+1) residual
     # descent from depth GRID_L+SUB_L (rare: leaves deeper than 9)
-    sub_pdf: jnp.ndarray = None       # (SUBCAP * 4^SUB_L,) float32
-    sub_node: jnp.ndarray = None      # (SUBCAP * 4^SUB_L,) int32
+    sub_pl: jnp.ndarray = None        # (SUBCAP * 4^SUB_L, 2) float32
     # packed quad node row for residual descents: [c0..c3, irr_kid0..3]
     q_pack: jnp.ndarray = None        # (NQ, 8) float32
     # per-kd-node world-space extents (for stochastic spatial splat
@@ -381,7 +383,7 @@ def hemisphere_mass(tree: SDTreeDevice, root, n):
 
 
 def splat(tree: SDTreeDevice, p, xy, value, weight, nee_xy=None, nee_value=None,
-          mask=None, jitter_u=None):
+          mask=None, jitter_u=None, cap_kd=None, cap_q=None, cap_q_nee=None):
     """Accumulate training records into the leaf accumulators.
 
     p: (V,3) world positions; xy: (V,2) canonical directions;
@@ -389,38 +391,72 @@ def splat(tree: SDTreeDevice, p, xy, value, weight, nee_xy=None, nee_value=None,
     weight: (V,) statistical weight -> kd vertCount;
     nee_*: optional NEE stream (luminance(nee_radiance)/woPdf at the NEE
     direction, quadtree.py:455-464).
+    cap_*: optional TRACE-TIME-CAPTURED leaf ids (kd leaf, quad leaf of
+    the recorded dir, quad leaf of the NEE dir), -1 where not captured.
+    The trace locates every vertex/direction anyway (sampling + pdf), so
+    captured ids turn the splat's 12-24M-lane lookup chain into plain
+    scatter-adds; a lax.cond re-runs the lookups only when some masked
+    lane lacks capture (unguided iterations 0-1).
     Returns updated tree (functional).
     """
     if mask is None:
         mask = jnp.ones(value.shape, bool)
-    if jitter_u is not None:
-        # stochastic spatial splat filter (Mueller's practical improvement):
-        # jitter each record within its kd leaf's extent — a box filter
-        # over neighboring spatial cells in expectation. Affects only the
-        # guiding distribution's smoothness, never estimator bias.
-        kd_leaf0, _, _ = kd_lookup_grid(tree, p)
-        ext = tree.kd_ext[kd_leaf0]  # (V, 4)
-        p = p + (jitter_u - 0.5) * ext[..., 0:3]
-    kd_leaf, slot, _srow = kd_lookup_grid(tree, p)
-    kd_acc = tree.kd_vert_acc.at[kd_leaf].add(jnp.where(mask, weight, 0.0))
     if not tree.store_nee:
         # isStoreNEERadiance off: only the path-irradiance stream is
         # splatted (reference quadtree.py:455-464 gates the NEE block)
         nee_xy = None
-    if nee_xy is not None:
-        # path + NEE directions share one batched leaf location
-        q_leaf2 = quad_leaf_lookup_fast2(
-            tree,
-            jnp.concatenate([slot, slot]),
-            jnp.concatenate([xy, nee_xy], axis=0),
-        )
-        nee_mask = mask & (nee_value > 0)
-        vals = jnp.concatenate(
-            [jnp.where(mask, value, 0.0), jnp.where(nee_mask, nee_value, 0.0)]
-        )
-        q_acc = tree.q_irr_acc.at[q_leaf2].add(vals)
+    if jitter_u is not None:
+        # stochastic spatial splat filter (Mueller's practical improvement):
+        # jitter each record within its kd leaf's extent — a box filter
+        # over neighboring spatial cells in expectation. Affects only the
+        # guiding distribution's smoothness, never estimator bias. The
+        # jittered position lands in a different cell, so captured ids
+        # don't apply on this path.
+        kd_leaf0, _, _ = kd_lookup_grid(tree, p)
+        ext = tree.kd_ext[kd_leaf0]  # (V, 4)
+        p = p + (jitter_u - 0.5) * ext[..., 0:3]
+        cap_kd = None
+
+    def lookups(_):
+        kd_leaf, slot, _srow = kd_lookup_grid(tree, p)
+        if nee_xy is not None:
+            # path + NEE directions share one batched leaf location
+            q2 = quad_leaf_lookup_fast2(
+                tree,
+                jnp.concatenate([slot, slot]),
+                jnp.concatenate([xy, nee_xy], axis=0),
+            )
+            n = xy.shape[0]
+            return kd_leaf, q2[:n], q2[n:]
+        q = quad_leaf_lookup_fast2(tree, slot, xy)
+        return kd_leaf, q, q
+
+    if cap_kd is None:
+        kd_leaf, q_leaf, q_leaf_nee = lookups(None)
     else:
-        q_leaf = quad_leaf_lookup_fast2(tree, slot, xy)
+        nee_live = (
+            mask & (nee_value > 0) if nee_xy is not None
+            else jnp.zeros_like(mask)
+        )
+        missing = jnp.any(
+            (mask & (cap_q < 0)) | (nee_live & (cap_q_nee < 0))
+        )
+        kd_leaf, q_leaf, q_leaf_nee = jax.lax.cond(
+            missing,
+            lookups,
+            lambda _: (
+                jnp.maximum(cap_kd, 0),
+                jnp.maximum(cap_q, 0),
+                jnp.maximum(cap_q_nee, 0),
+            ),
+            None,
+        )
+    kd_acc = tree.kd_vert_acc.at[kd_leaf].add(jnp.where(mask, weight, 0.0))
+    if nee_xy is not None:
+        nee_mask = mask & (nee_value > 0)
+        q_acc = tree.q_irr_acc.at[q_leaf].add(jnp.where(mask, value, 0.0))
+        q_acc = q_acc.at[q_leaf_nee].add(jnp.where(nee_mask, nee_value, 0.0))
+    else:
         q_acc = tree.q_irr_acc.at[q_leaf].add(jnp.where(mask, value, 0.0))
     return tree.replace(kd_vert_acc=kd_acc, q_irr_acc=q_acc)
 
@@ -603,7 +639,7 @@ class SDTree:
         leaf_p[1:] -= leaf_cdf[:-1]
         if n_slots:
             leaf_p[off[:n_slots]] = leaf_cdf[off[:n_slots]]
-        leaf_geom = np.zeros((nq_cap, 4), np.float32)
+        leaf_geom = np.zeros((nq_cap, 5), np.float32)
         sizes = np.exp2(-leaf_depth.astype(np.float32))
         leaf_geom[:, 0] = leaf_lo[:, 0]
         leaf_geom[:, 1] = leaf_lo[:, 1]
@@ -613,6 +649,7 @@ class SDTree:
             * np.exp2(2.0 * leaf_depth.astype(np.float32))
             * INV_FOUR_PI
         )
+        leaf_geom[:, 4] = tables["leaf_node"].astype(np.float32)
         from . import native
 
         al = native.build_alias(leaf_cdf, n_slots, off, cnt)
@@ -650,15 +687,15 @@ class SDTree:
         n_sub = int(internal.sum())
         sub_of_cell = np.cumsum(internal.reshape(-1)).reshape(internal.shape)
         sub_of_cell = (sub_of_cell - 1).astype(np.int64)
-        val = np.where(node_leaf, pdf_leaf, -(sub_of_cell + 1.0))
-        val = np.where(root_irr[:, None] > 0, val, INV_FOUR_PI)
-        grid_pdf = np.zeros((max_roots, cells), np.float32)
+        # packed [pdf_enc, node_enc] rows; the zero-flux uniform-pdf
+        # fallback moved to query time (keeps node_enc structural)
+        val = np.where(node_leaf, np.nan_to_num(pdf_leaf),
+                       -(sub_of_cell + 1.0))
+        grid_pl = np.zeros((max_roots, cells, 2), np.float32)
         if n_slots:
-            grid_pdf[:n_slots] = val
-        gleaf = np.zeros((max_roots, cells), np.int32)
-        if n_slots:
-            gleaf[:n_slots] = np.where(
-                node_leaf, gn, -(sub_of_cell.astype(np.int32) + 1)
+            grid_pl[:n_slots, :, 0] = val
+            grid_pl[:n_slots, :, 1] = np.where(
+                node_leaf, gn, -(sub_of_cell + 1.0)
             )
 
         # level-2 subgrids: expand each internal covering node (depth
@@ -668,8 +705,7 @@ class SDTree:
         sub_cap = 2048
         while sub_cap < max(n_sub, 1):
             sub_cap *= 2
-        sub_pdf = np.zeros((sub_cap, sres * sres), np.float32)
-        sub_node = np.zeros((sub_cap, sres * sres), np.int32)
+        sub_pl = np.zeros((sub_cap, sres * sres, 2), np.float32)
         if n_sub:
             cur = gn[internal].reshape(n_sub, 1, 1)
             for _ in range(SUB_L):
@@ -691,10 +727,10 @@ class SDTree:
                     * INV_FOUR_PI
                     / np.maximum(root_irr[slot_of_sub][:, None, None], 1e-30)
                 )
-            sub_pdf[:n_sub] = np.where(
-                leaf_s, pdf_s, -(cur + 1.0)
+            sub_pl[:n_sub, :, 0] = np.where(
+                leaf_s, np.nan_to_num(pdf_s), -(cur + 1.0)
             ).reshape(n_sub, -1)
-            sub_node[:n_sub] = np.where(leaf_s, cur, -(cur + 1)).reshape(
+            sub_pl[:n_sub, :, 1] = np.where(leaf_s, cur, -(cur + 1.0)).reshape(
                 n_sub, -1
             )
 
@@ -712,9 +748,8 @@ class SDTree:
         return dict(
             kd_grid2=kd_grid2, kd_grid_bits=bits,
             slot_row=slot_row, hemi_tab=hemi, alias_pack=alias_pack,
-            leaf_geom=leaf_geom, grid_pdf=grid_pdf.reshape(-1),
-            grid_leafnode=gleaf.reshape(-1),
-            sub_pdf=sub_pdf.reshape(-1), sub_node=sub_node.reshape(-1),
+            leaf_geom=leaf_geom, grid_pl=grid_pl.reshape(-1, 2),
+            sub_pl=sub_pl.reshape(-1, 2),
             q_pack=q_pack, kd_ext=kd_ext,
         )
 
@@ -748,10 +783,8 @@ class SDTree:
             hemi_tab=jnp.asarray(fast2["hemi_tab"]),
             alias_pack=jnp.asarray(fast2["alias_pack"]),
             leaf_geom=jnp.asarray(fast2["leaf_geom"]),
-            grid_pdf=jnp.asarray(fast2["grid_pdf"]),
-            grid_leafnode=jnp.asarray(fast2["grid_leafnode"]),
-            sub_pdf=jnp.asarray(fast2["sub_pdf"]),
-            sub_node=jnp.asarray(fast2["sub_node"]),
+            grid_pl=jnp.asarray(fast2["grid_pl"]),
+            sub_pl=jnp.asarray(fast2["sub_pl"]),
             q_pack=jnp.asarray(fast2["q_pack"]),
             kd_ext=jnp.asarray(fast2["kd_ext"]),
             kd_max_depth=self.kd_max_depth,
@@ -1532,7 +1565,10 @@ def hemisphere_fast(tree: SDTreeDevice, slot, n):
 
 
 def quad_sample_fast2(tree: SDTreeDevice, srow, u1, u2):
-    """Alias-table leaf sampling: 2 packed row gathers, exact distribution."""
+    """Alias-table leaf sampling: 2 packed row gathers, exact distribution.
+
+    Returns (xy, pdf, leaf): the picked leaf's quad node id rides the geom
+    row for free, so the splat never re-locates tree-sampled directions."""
     off = srow[..., 1].astype(jnp.int32)
     cnt = jnp.maximum(srow[..., 2].astype(jnp.int32), 1)
     root_irr = srow[..., 3]
@@ -1549,15 +1585,17 @@ def quad_sample_fast2(tree: SDTreeDevice, srow, u1, u2):
         (v - prob) / jnp.maximum(1.0 - prob, 1e-12),
     )
     vr = jnp.clip(vr, 0.0, 1.0 - 1e-7)
-    g = tree.leaf_geom[off + j2]  # [lo_x, lo_y, size, pdf]
+    g = tree.leaf_geom[off + j2]  # [lo_x, lo_y, size, pdf, node_f]
     xy = jnp.stack(
         [g[..., 0] + g[..., 2] * vr, g[..., 1] + g[..., 2] * u2], axis=-1
     )
     pdf = g[..., 3]
+    leaf = g[..., 4].astype(jnp.int32)
     uni = root_irr <= 0
     xy = jnp.where(uni[..., None], jnp.stack([u1, u2], axis=-1), xy)
     pdf = jnp.where(uni, INV_FOUR_PI, pdf)
-    return jnp.clip(xy, 0.0, 1.0 - 1e-7), pdf
+    leaf = jnp.where(uni, srow[..., 0].astype(jnp.int32), leaf)
+    return jnp.clip(xy, 0.0, 1.0 - 1e-7), pdf, leaf
 
 
 def _residual_quadrant(row, xy):
@@ -1590,23 +1628,30 @@ def _two_level_cells(tree: SDTreeDevice, xy):
     return cy * res + cx, sy * sres + sx
 
 
-def quad_pdf_fast2(tree: SDTreeDevice, slot, srow, xy):
-    """Two-level-grid pdf: the pdf of a direction IS the pdf of the leaf
-    containing it, so this is point location — 1 narrow gather resolves
-    cells whose covering node at grid depth is a leaf, 1 more resolves to
-    depth grid_l+sub_l via the subgrid pool; the packed-row residual
-    descent for deeper leaves is lax.cond-skipped when no lane needs it."""
+def quad_pdf_leaf_fast2(tree: SDTreeDevice, slot, srow, xy):
+    """Two-level-grid pdf + point location in ONE packed-row gather chain.
+
+    The pdf of a direction IS the pdf of the leaf containing it, so both
+    come from the same lookup: 1 two-wide gather resolves cells whose
+    covering node at grid depth is a leaf, 1 more resolves to depth
+    grid_l+sub_l via the subgrid pool; the packed-row residual descent for
+    deeper leaves is lax.cond-skipped when no lane needs it. Returns
+    (pdf, leaf node id) — the leaf id feeds splat capture (the splat never
+    re-locates directions the trace already located)."""
     res = 1 << tree.grid_l
     sres = 1 << tree.sub_l
     cell, subcell = _two_level_cells(tree, xy)
-    v = tree.grid_pdf[jnp.maximum(slot, 0) * (res * res) + cell]
-    done0 = v >= 0
-    sub_cap = tree.sub_pdf.shape[0] // (sres * sres)
-    sub = jnp.clip((-v).astype(jnp.int32) - 1, 0, sub_cap - 1)
-    v2 = tree.sub_pdf[sub * (sres * sres) + subcell]
-    done1 = done0 | (v2 >= 0)
+    row = tree.grid_pl[jnp.maximum(slot, 0) * (res * res) + cell]
+    v, g = row[..., 0], row[..., 1]
+    done0 = g >= 0
+    sub_cap = tree.sub_pl.shape[0] // (sres * sres)
+    sub = jnp.clip((-g).astype(jnp.int32) - 1, 0, sub_cap - 1)
+    row2 = tree.sub_pl[sub * (sres * sres) + subcell]
+    v2, g2 = row2[..., 0], row2[..., 1]
+    done1 = done0 | (g2 >= 0)
     pdf01 = jnp.where(done0, jnp.maximum(v, 0.0), jnp.maximum(v2, 0.0))
-    node0 = (-v2).astype(jnp.int32) - 1  # depth grid_l+sub_l where ~done1
+    leaf01 = jnp.where(done0, g, jnp.maximum(g2, 0.0)).astype(jnp.int32)
+    node0 = (-g2).astype(jnp.int32) - 1  # depth grid_l+sub_l where ~done1
     root_irr = srow[..., 3]
 
     def tail(_):
@@ -1631,37 +1676,53 @@ def quad_pdf_fast2(tree: SDTreeDevice, slot, srow, xy):
             node2 = jnp.where(adv, child, node)
             return i + 1, node2, mul2, done | is_leaf
 
-        _, _, mul, _ = jax.lax.while_loop(
+        _, node, mul, _ = jax.lax.while_loop(
             cond,
             body,
-            (jnp.int32(0), node0, jnp.ones(xy.shape[:-1], jnp.float32), done1),
+            (
+                jnp.int32(0),
+                jnp.maximum(node0, 0),
+                jnp.ones(xy.shape[:-1], jnp.float32),
+                done1,
+            ),
         )
-        return prefix * mul
+        return prefix * mul, node
 
-    pdf_tail = jax.lax.cond(
+    pdf_tail, leaf_tail = jax.lax.cond(
         jnp.any(~done1),
         tail,
-        lambda _: jnp.zeros(xy.shape[:-1], jnp.float32),
+        lambda _: (
+            jnp.zeros(xy.shape[:-1], jnp.float32),
+            jnp.zeros_like(leaf01),
+        ),
         None,
     )
     pdf = jnp.where(done1, pdf01, pdf_tail)
-    return jnp.where(jnp.isfinite(pdf), pdf, 0.0)
+    leaf = jnp.where(done1, leaf01, leaf_tail)
+    # zero-flux root: uniform pdf (leaf id stays structural)
+    pdf = jnp.where(root_irr > 0, pdf, INV_FOUR_PI)
+    return jnp.where(jnp.isfinite(pdf), pdf, 0.0), leaf
+
+
+def quad_pdf_fast2(tree: SDTreeDevice, slot, srow, xy):
+    """pdf-only view of :func:`quad_pdf_leaf_fast2`."""
+    return quad_pdf_leaf_fast2(tree, slot, srow, xy)[0]
 
 
 def quad_leaf_lookup_fast2(tree: SDTreeDevice, slot, xy):
-    """Two-level-grid point location: 2 narrow gathers resolve to depth
+    """Two-level-grid point location: 2 packed gathers resolve to depth
     grid_l+sub_l; the residual descent is lax.cond-skipped when unused."""
     res = 1 << tree.grid_l
     sres = 1 << tree.sub_l
     cell, subcell = _two_level_cells(tree, xy)
-    g = tree.grid_leafnode[jnp.maximum(slot, 0) * (res * res) + cell]
+    g = tree.grid_pl[jnp.maximum(slot, 0) * (res * res) + cell][..., 1]
     done0 = g >= 0
-    sub_cap = tree.sub_node.shape[0] // (sres * sres)
-    sub = jnp.clip(-g - 1, 0, sub_cap - 1)
-    n2 = tree.sub_node[sub * (sres * sres) + subcell]
+    sub_cap = tree.sub_pl.shape[0] // (sres * sres)
+    sub = jnp.clip((-g).astype(jnp.int32) - 1, 0, sub_cap - 1)
+    n2 = tree.sub_pl[sub * (sres * sres) + subcell][..., 1]
     done1 = done0 | (n2 >= 0)
-    node01 = jnp.where(done0, g, jnp.maximum(n2, 0))
-    node0 = -n2 - 1  # internal node at depth grid_l+sub_l where ~done1
+    node01 = jnp.where(done0, g, jnp.maximum(n2, 0.0)).astype(jnp.int32)
+    node0 = (-n2).astype(jnp.int32) - 1  # internal at grid_l+sub_l
 
     def tail(_):
         def cond(carry):

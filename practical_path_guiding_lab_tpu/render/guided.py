@@ -175,25 +175,36 @@ def _bounce_body(scene, tree_prev, seed0, pass_index, iteration,
         # pdf/sample/hemisphere (~1-3 gathers each) — XLA TPU gathers cost
         # ~7 ms per instruction at 1M lanes, so instruction count rules
         p, ns, wo_nee, bs_wo, g1, g2 = args
-        _, slot, srow = sd.kd_lookup_grid(tree_prev, p)
+        kd_leaf, slot, srow = sd.kd_lookup_grid(tree_prev, p)
         xy2 = dir_to_canonical(jnp.concatenate([wo_nee, bs_wo], axis=0))
         slot2 = jnp.concatenate([slot, slot])
         srow2 = jnp.concatenate([srow, srow], axis=0)
-        pdf2 = sd.quad_pdf_fast2(tree_prev, slot2, srow2, xy2)
+        # pdf AND leaf ids from one packed gather chain: the leaf ids are
+        # captured into the records so the splat needs no point location
+        pdf2, leaf2 = sd.quad_pdf_leaf_fast2(tree_prev, slot2, srow2, xy2)
         nn = p.shape[0]
         t_pdf_nee, t_pdf_b = pdf2[:nn], pdf2[nn:]
-        t_xy, t_pdf_s = sd.quad_sample_fast2(tree_prev, srow, g1, g2)
+        leaf_nee, leaf_b = leaf2[:nn], leaf2[nn:]
+        t_xy, t_pdf_s, leaf_t = sd.quad_sample_fast2(tree_prev, srow, g1, g2)
         h = sd.hemisphere_fast(tree_prev, slot, ns)
-        return t_pdf_nee, t_xy, t_pdf_s, t_pdf_b, h, srow[..., 4]
+        return (
+            t_pdf_nee, t_xy, t_pdf_s, t_pdf_b, h, srow[..., 4],
+            kd_leaf, leaf_nee, leaf_b, leaf_t,
+        )
 
     def _no_tree(args):
         p, ns, wo_nee, bs_wo, g1, g2 = args
         z = jnp.zeros(p.shape[:-1], jnp.float32)
+        neg = jnp.full(p.shape[:-1], -1, jnp.int32)
         return (
             z, jnp.zeros(p.shape[:-1] + (2,), jnp.float32), z, z, z + 1.0, z,
+            neg, neg, neg, neg,
         )
 
-    tree_pdf_nee, tree_xy, tree_pdf_t, tree_pdf_b, hemi, vert_cnt = jax.lax.cond(
+    (
+        tree_pdf_nee, tree_xy, tree_pdf_t, tree_pdf_b, hemi, vert_cnt,
+        cap_kd, cap_leaf_nee, cap_leaf_b, cap_leaf_t,
+    ) = jax.lax.cond(
         use_guiding,
         _tree_work,
         _no_tree,
@@ -300,6 +311,21 @@ def _bounce_body(scene, tree_prev, seed0, pass_index, iteration,
             wo_pdf=put("wo_pdf", wo_pdf, store),
             bsdf_pdf=put("bsdf_pdf", bs["pdf"], store),
             is_delta=put("is_delta", bs["delta"] & store),
+            # captured splat targets (-1 where unavailable: unguided
+            # iterations or unstored lanes -> splat falls back to lookups)
+            kd_leaf=put("kd_leaf", jnp.where(store, cap_kd, -1)),
+            q_leaf=put(
+                "q_leaf",
+                jnp.where(
+                    store,
+                    jnp.where(take_tree, cap_leaf_t, cap_leaf_b),
+                    -1,
+                ),
+            ),
+            q_leaf_nee=put(
+                "q_leaf_nee",
+                jnp.where(store & nee_ok, cap_leaf_nee, -1),
+            ),
         )
         s["recs"] = r
 
@@ -438,6 +464,9 @@ def process_and_splat(tree_current: sd.SDTreeDevice, recs: PathRecords, L_final,
         nee_value=flat(nee_value),
         mask=flat(mask),
         jitter_u=jitter_u,
+        cap_kd=flat(recs.kd_leaf),
+        cap_q=flat(recs.q_leaf),
+        cap_q_nee=flat(recs.q_leaf_nee),
     )
 
 

@@ -128,3 +128,40 @@ def test_process_and_splat_numpy_oracle():
     got_vert = float(np.asarray(dev.kd_vert_acc).sum())
     assert abs(got_vert - exp_vert) < 1e-3
     assert abs(got_irr - exp_irr) < 1e-3 * max(exp_irr, 1.0)
+
+
+def test_splat_capture_matches_lookups(trained, cornell_small):
+    """Trace-time-captured splat targets (kd leaf, quad leaf of the
+    recorded and NEE directions) must reproduce the splat-time lookup
+    path exactly: forcing the capture fields to -1 flips sd.splat onto
+    its lookup fallback, and both must accumulate identical histograms."""
+    import jax
+    import jax.numpy as jnp
+
+    from practical_path_guiding_lab_tpu.render.guided import (
+        process_and_splat,
+        render_guided_wavefront,
+    )
+    from practical_path_guiding_lab_tpu.render.path_tracer import (
+        _film_prologue,
+    )
+
+    scene = cornell_small
+    tree = trained.dev_tree
+    lane_ids, px, py = jax.jit(_film_prologue)(scene, 3, 40)
+    L, _, recs = render_guided_wavefront(
+        scene, tree, 3, 40, lane_ids, px, py, iteration=3, record=True
+    )
+    assert int((np.asarray(recs.q_leaf) >= 0).sum()) > 0
+
+    t_cap = process_and_splat(tree, recs, L, 3, 40)
+    neg = jnp.full_like(recs.kd_leaf, -1)
+    recs_nocap = recs.replace(kd_leaf=neg, q_leaf=neg, q_leaf_nee=neg)
+    t_look = process_and_splat(tree, recs_nocap, L, 3, 40)
+
+    np.testing.assert_array_equal(
+        np.asarray(t_cap.kd_vert_acc), np.asarray(t_look.kd_vert_acc)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(t_cap.q_irr_acc), np.asarray(t_look.q_irr_acc)
+    )

@@ -82,7 +82,7 @@ def test_mixture_sampler_pdf_consistency(trained_tree):
     u = jnp.asarray(rng.random((6, n)), jnp.float32)
     bs = bsdf_mod.sample(ctx, si.wi_world, u[0], u[1], u[2])
     _, slot, srow = sd.kd_lookup_grid(tree, si.p)
-    t_xy, t_pdf_s = sd.quad_sample_fast2(tree, srow, u[3], u[4])
+    t_xy, t_pdf_s, _leaf = sd.quad_sample_fast2(tree, srow, u[3], u[4])
     wo_tree = canonical_to_dir(t_xy)
 
     take_tree = (u[5] >= frac) & ~bs["delta"]

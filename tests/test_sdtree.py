@@ -363,12 +363,21 @@ def test_fast2_paths_match_descent(rng_np):
     leaf_g = sd.quad_leaf_lookup_fast2(dev, slot, xy)
     assert (np.asarray(leaf_g) == np.asarray(leaf_ref)).all()
 
+    # pdf query also returns the containing leaf (splat capture)
+    pdf_g2, leaf_pl = sd.quad_pdf_leaf_fast2(dev, slot, srow, xy)
+    assert (np.asarray(leaf_pl) == np.asarray(leaf_ref)).all()
+    assert np.allclose(np.asarray(pdf_g2), np.asarray(pdf_ref), rtol=1e-4,
+                       atol=1e-6)
+
     # alias sampling: distribution check — histogram of sampled leaves
-    # matches leaf probabilities, and reported pdf equals pdf query
-    txy, tpdf = sd.quad_sample_fast2(dev, srow, u1, u2)
+    # matches leaf probabilities, and reported pdf equals pdf query;
+    # the sampler's reported leaf must be the leaf containing its sample
+    txy, tpdf, tleaf = sd.quad_sample_fast2(dev, srow, u1, u2)
     pdf_at = sd.quad_pdf_fast2(dev, slot, srow, txy)
     assert np.allclose(np.asarray(tpdf), np.asarray(pdf_at), rtol=1e-4,
                        atol=1e-6)
+    leaf_of_sample = sd.quad_leaf_lookup_descent(dev, root_ref, txy)
+    assert (np.asarray(tleaf) == np.asarray(leaf_of_sample)).all()
     # MC: mean(1/pdf) over samples = 4pi (integral of 1 over sphere)
     inv = 1.0 / np.maximum(np.asarray(tpdf), 1e-12)
     assert abs(inv.mean() / (4 * np.pi) - 1.0) < 0.15

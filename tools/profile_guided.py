@@ -95,8 +95,8 @@ def main():
     t_s = timeit("process_and_splat", splat, reps)
 
     sum_l = integ.sum_l
-    t_m = timeit("moments + develop", lambda: (
-        var_mod.accumulate_moments(sum_l, sum_l, L, px, py, 1280)[0],
+    t_m = timeit("moments + develop (aligned)", lambda: (
+        var_mod.accumulate_moments_aligned(sum_l, sum_l, L)[0],
         develop_pass_image(scene, L, px, py),
     ), reps)
     print(f"\ntrace(final)={t_f:.2f}s trace(train)={t_r:.2f}s splat={t_s:.2f}s "

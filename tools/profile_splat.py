@@ -109,13 +109,29 @@ def main():
     timeit("compact gather p (V->K x3)", lambda: p[ids], reps)
 
     full = timeit(
-        "FULL splat (current code, point splats)",
+        "FULL splat (lookup fallback, point splats)",
         lambda: jax.jit(sd.splat)(tree, p, xy, value,
                                   jnp.ones(V, jnp.float32),
                                   nee_xy=nee_xy, nee_value=value, mask=mask),
         reps,
     )
-    print(f"\nfull={full:.0f} ms", flush=True)
+
+    # trace-time-captured ids: the production path for guided iterations
+    kd_cap, slot_cap, _ = kd_jit(tree, p)
+    q_cap = leaf_jit(tree, slot_cap, xy)
+    qn_cap = leaf_jit(tree, slot_cap, nee_xy)
+    jax.block_until_ready((kd_cap, q_cap, qn_cap))
+    cap = timeit(
+        "FULL splat (captured ids)",
+        lambda: jax.jit(sd.splat)(tree, p, xy, value,
+                                  jnp.ones(V, jnp.float32),
+                                  nee_xy=nee_xy, nee_value=value, mask=mask,
+                                  cap_kd=kd_cap, cap_q=q_cap,
+                                  cap_q_nee=qn_cap),
+        reps,
+    )
+    print(f"\nfull(lookups)={full:.0f} ms  full(captured)={cap:.0f} ms",
+          flush=True)
 
 
 if __name__ == "__main__":
