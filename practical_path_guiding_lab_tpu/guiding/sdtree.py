@@ -382,8 +382,28 @@ def hemisphere_mass(tree: SDTreeDevice, root, n):
     return jnp.where(root_leaf, 0.5, h)
 
 
+def _dir_jitter(tree: SDTreeDevice, xy, cap_q, u):
+    """Jitter a canonical direction within its quad leaf's extent.
+
+    Stochastic DIRECTIONAL box filter (the directional half of Mueller's
+    stochastic splat filtering): in expectation each record's energy is
+    box-filtered over the neighboring directional cells. Unlike the
+    spatial filter this cannot leak energy through geometry — the
+    position is untouched. The jitter radius is the captured leaf's
+    width; records without capture (unguided iterations 0-1) keep their
+    exact direction (radius 0). x wraps (azimuth), y clamps (poles)."""
+    d = tree.q_depth_dev[jnp.maximum(cap_q, 0)].astype(jnp.float32)
+    size = jnp.where(cap_q >= 0, jnp.exp2(-d), 0.0)
+    jx = xy[..., 0] + (u[..., 0] - 0.5) * size
+    jy = xy[..., 1] + (u[..., 1] - 0.5) * size
+    return jnp.stack(
+        [jx - jnp.floor(jx), jnp.clip(jy, 0.0, 1.0 - 1e-7)], axis=-1
+    )
+
+
 def splat(tree: SDTreeDevice, p, xy, value, weight, nee_xy=None, nee_value=None,
-          mask=None, jitter_u=None, cap_kd=None, cap_q=None, cap_q_nee=None):
+          mask=None, jitter_u=None, cap_kd=None, cap_q=None, cap_q_nee=None,
+          dir_jitter_u=None):
     """Accumulate training records into the leaf accumulators.
 
     p: (V,3) world positions; xy: (V,2) canonical directions;
@@ -397,6 +417,10 @@ def splat(tree: SDTreeDevice, p, xy, value, weight, nee_xy=None, nee_value=None,
     captured ids turn the splat's 12-24M-lane lookup chain into plain
     scatter-adds; a lax.cond re-runs the lookups only when some masked
     lane lacks capture (unguided iterations 0-1).
+    jitter_u: (V,3) uniforms -> spatial box filter (jitter within the kd
+    leaf extent; can leak through thin geometry, default off).
+    dir_jitter_u: (V,4) uniforms -> directional box filter (jitter each
+    direction within its quad leaf's width; non-leaking). Requires cap_*.
     Returns updated tree (functional).
     """
     if mask is None:
@@ -416,6 +440,55 @@ def splat(tree: SDTreeDevice, p, xy, value, weight, nee_xy=None, nee_value=None,
         ext = tree.kd_ext[kd_leaf0]  # (V, 4)
         p = p + (jitter_u - 0.5) * ext[..., 0:3]
         cap_kd = None
+    if dir_jitter_u is not None and cap_kd is not None:
+        # directional filter: jittered directions usually land in a
+        # sibling leaf, so the quad captures are dropped and the (cheap,
+        # grid-based) directional point location re-runs; the kd capture
+        # stays valid (position untouched) and recovers the slot via
+        # root_slot[kd_quad_root[kd]].
+        xy = _dir_jitter(tree, xy, cap_q, dir_jitter_u[..., 0:2])
+        if nee_xy is not None:
+            nee_xy = _dir_jitter(
+                tree, nee_xy, cap_q_nee, dir_jitter_u[..., 2:4]
+            )
+
+        def q_lookups(_):
+            kd_missing = jnp.any(mask & (cap_kd < 0))
+            kd_leaf, slot = jax.lax.cond(
+                kd_missing,
+                lambda _: kd_lookup_grid(tree, p)[:2],
+                lambda _: (
+                    jnp.maximum(cap_kd, 0),
+                    tree.root_slot[
+                        jnp.maximum(
+                            tree.kd_quad_root[jnp.maximum(cap_kd, 0)], 0
+                        )
+                    ],
+                ),
+                None,
+            )
+            if nee_xy is not None:
+                q2 = quad_leaf_lookup_fast2(
+                    tree,
+                    jnp.concatenate([slot, slot]),
+                    jnp.concatenate([xy, nee_xy], axis=0),
+                )
+                n = xy.shape[0]
+                return kd_leaf, q2[:n], q2[n:]
+            q = quad_leaf_lookup_fast2(tree, slot, xy)
+            return kd_leaf, q, q
+
+        kd_leaf, q_leaf, q_leaf_nee = q_lookups(None)
+        kd_acc = tree.kd_vert_acc.at[kd_leaf].add(
+            jnp.where(mask, weight, 0.0)
+        )
+        q_acc = tree.q_irr_acc.at[q_leaf].add(jnp.where(mask, value, 0.0))
+        if nee_xy is not None:
+            nee_mask = mask & (nee_value > 0)
+            q_acc = q_acc.at[q_leaf_nee].add(
+                jnp.where(nee_mask, nee_value, 0.0)
+            )
+        return tree.replace(kd_vert_acc=kd_acc, q_irr_acc=q_acc)
 
     def lookups(_):
         kd_leaf, slot, _srow = kd_lookup_grid(tree, p)
@@ -906,8 +979,18 @@ class SDTree:
     # ------------------------------------------------------------------ #
 
     def set_refinement_threshold(self, iteration: int):
-        """maxLeafSize = c * sqrt(2^k) (reference kdtree.py:327-330)."""
-        self.kd_threshold = KD_SPLIT_C * np.sqrt(2.0**iteration)
+        """maxLeafSize = c * sqrt(2^k) (reference kdtree.py:327-330).
+
+        c defaults to the reference's 12000 but is overridable via
+        PPG_KD_SPLIT_C: the constant is RESOLUTION-ABSOLUTE (record count
+        scales with image pixels x spp), so low-res runs starve the
+        spatial tree and high-res runs may benefit from a finer one —
+        the knob makes the threshold experimentable without forking
+        semantics (round-2 verdict item 4)."""
+        import os
+
+        c = float(os.environ.get("PPG_KD_SPLIT_C", KD_SPLIT_C))
+        self.kd_threshold = c * np.sqrt(2.0**iteration)
 
     def refine(self):
         """Refine with automatic capacity growth: split/merge can need more

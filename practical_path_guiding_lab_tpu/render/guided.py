@@ -404,13 +404,15 @@ def render_guided_wavefront_stepped(
     return L, state["rays_cast"], (state["recs"] if record else None)
 
 
-def splat_filter_enabled() -> bool:
-    """Stochastic spatial splat filtering (jitter records within their kd
-    leaf extent — box filter in expectation, Mueller's practical
-    improvement). PPG_SPLAT_FILTER=0 for the reference's point splats."""
+def splat_filter_mode() -> str:
+    """Stochastic splat filtering mode (Mueller's practical improvement):
+    '0' point splats (reference default), '1' spatial (jitter records
+    within their kd leaf extent — box filter in expectation; can leak
+    energy through thin geometry), 'dir' directional (jitter each
+    direction within its quad leaf width — non-leaking)."""
     import os
 
-    return os.environ.get("PPG_SPLAT_FILTER", "0") == "1"
+    return os.environ.get("PPG_SPLAT_FILTER", "0")
 
 
 def process_and_splat(tree_current: sd.SDTreeDevice, recs: PathRecords, L_final,
@@ -444,16 +446,21 @@ def process_and_splat(tree_current: sd.SDTreeDevice, recs: PathRecords, L_final,
 
     flat = lambda a: a.reshape((n * d,) + a.shape[2:])
     jitter_u = None
-    if splat_filter_enabled():
+    dir_jitter_u = None
+    mode = splat_filter_mode()
+    if mode in ("1", "dir"):
         # key the jitter stream on GLOBAL vertex ids (shard base + local)
         v_ids = lane_offset * d + jnp.arange(n * d, dtype=jnp.int32)
         j0, j1 = rng.uniform2(
             seed0, pass_index, 0, rng.PurposeId.SPLAT_JITTER, v_ids
         )
-        j2 = rng.uniform1(
+        j2, j3 = rng.uniform2(
             seed0, pass_index, 1, rng.PurposeId.SPLAT_JITTER, v_ids
         )
-        jitter_u = jnp.stack([j0, j1, j2], axis=-1)
+        if mode == "1":
+            jitter_u = jnp.stack([j0, j1, j2], axis=-1)
+        else:
+            dir_jitter_u = jnp.stack([j0, j1, j2, j3], axis=-1)
     return sd.splat(
         tree_current,
         flat(recs.position),
@@ -467,6 +474,7 @@ def process_and_splat(tree_current: sd.SDTreeDevice, recs: PathRecords, L_final,
         cap_kd=flat(recs.kd_leaf),
         cap_q=flat(recs.q_leaf),
         cap_q_nee=flat(recs.q_leaf_nee),
+        dir_jitter_u=dir_jitter_u,
     )
 
 

@@ -165,3 +165,45 @@ def test_splat_capture_matches_lookups(trained, cornell_small):
     np.testing.assert_array_equal(
         np.asarray(t_cap.q_irr_acc), np.asarray(t_look.q_irr_acc)
     )
+
+
+def test_splat_dir_filter_conserves_mass(trained, cornell_small):
+    """PPG_SPLAT_FILTER=dir: the directional box filter redistributes each
+    record's energy among neighboring quad cells but must (a) leave the kd
+    vertex histogram EXACTLY equal to point splats (positions untouched —
+    the non-leaking property), (b) conserve total irradiance mass, and
+    (c) actually move some energy between quad leaves."""
+    import jax
+    import jax.numpy as jnp
+
+    from practical_path_guiding_lab_tpu.render import guided as g
+    from practical_path_guiding_lab_tpu.render.path_tracer import (
+        _film_prologue,
+    )
+
+    scene = cornell_small
+    tree = trained.dev_tree
+    lane_ids, px, py = jax.jit(_film_prologue)(scene, 3, 44)
+    L, _, recs = g.render_guided_wavefront(
+        scene, tree, 3, 44, lane_ids, px, py, iteration=3, record=True
+    )
+
+    t_point = g.process_and_splat(tree, recs, L, 3, 44)
+    import os
+
+    os.environ["PPG_SPLAT_FILTER"] = "dir"
+    try:
+        t_dir = g.process_and_splat(tree, recs, L, 3, 44)
+    finally:
+        os.environ.pop("PPG_SPLAT_FILTER")
+
+    np.testing.assert_array_equal(
+        np.asarray(t_point.kd_vert_acc), np.asarray(t_dir.kd_vert_acc)
+    )
+    tot_p = float(np.asarray(t_point.q_irr_acc).sum())
+    tot_d = float(np.asarray(t_dir.q_irr_acc).sum())
+    assert abs(tot_d - tot_p) < 1e-3 * max(tot_p, 1.0)
+    moved = np.abs(
+        np.asarray(t_point.q_irr_acc) - np.asarray(t_dir.q_irr_acc)
+    ).sum()
+    assert moved > 0
