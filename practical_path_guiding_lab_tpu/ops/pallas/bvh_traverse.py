@@ -35,7 +35,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .intersect import LANE_BLOCK, RAY_ROWS, _common_planes, _mt_one, _plan, _safe_inv
 
-LEAF_K = 4  # triangles per leaf block (builder enforces <= LEAF_K)
+import os as _os
+
+# Triangles per leaf block (builder enforces <= LEAF_K). Bigger leaves
+# halve the vector-throughput-bound walk's step count and shift work to
+# the cheap unrolled MT phase; PPG_BVH_LEAF makes the trade measurable.
+LEAF_K = int(_os.environ.get("PPG_BVH_LEAF", "4"))
 
 
 # ===========================================================================
@@ -139,6 +144,22 @@ def build_bvh_tables(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray):
             pair[ni, 9:12] = bvh["node_hi"][cr]
             pair[ni, 12] = child_code(cl)
             pair[ni, 13] = child_code(cr)
+        # pad AABBs a few ulp outward: the kernel's FMA-form slab test
+        # (bound*inv - o*inv) rounds differently from (bound-o)*inv and
+        # must stay conservative for boundary-grazing rays
+        eps = 4e-7
+        for base in (0, 6):
+            w = np.abs(pair[:, base:base + 6]) + 1e-30
+            pair[:, base:base + 3] -= eps * w[:, 0:3]
+            pair[:, base + 3:base + 6] += eps * w[:, 3:6]
+    # dummy padding row (LAST): the batched walk pads short stack pops
+    # with it. Degenerate point AABBs at +3e38 fail every slab test
+    # (tmin=+huge fails tmin<t_far; mixed signs fail tmax>=tmin), and
+    # even a pathological pass only adds redundant leaf-0 MT tests.
+    dummy = np.zeros((1, 16), np.float32)
+    dummy[0, 0:12] = 3.0e38
+    dummy[0, 12:14] = -1.0
+    pair = np.concatenate([pair, dummy], axis=0)
     return (nodes, tris, slot_map, int(n), int(n_leaves),
             pair.reshape(-1), int(n_internal))
 
@@ -190,30 +211,42 @@ def _collect_leaves(node_ref, leaf_buf, o_x, o_y, o_z, ix, iy, iz,
     return cnt
 
 
-def _slab_scalar6(pair_ref, b, o_x, o_y, o_z, ix, iy, iz, t_near, t_far):
-    """Slab test with bounds loaded as 6 scalars from a flat SMEM table."""
-    t0 = (pair_ref[b] - o_x) * ix
-    t1 = (pair_ref[b + 3] - o_x) * ix
+def _slab_scalar6(pair_ref, b, oix, oiy, oiz, ix, iy, iz, t_near, t_far):
+    """Slab test with bounds loaded as 6 scalars from a flat SMEM table.
+
+    FMA form: callers precompute oi* = o*inv once per tile walk, so each
+    plane distance is one fused multiply-add (bound*inv - oi) instead of
+    a subtract + multiply — the walk is vector-throughput-bound and this
+    trims ~1/3 of its per-step vector ops."""
+    t0 = pair_ref[b] * ix - oix
+    t1 = pair_ref[b + 3] * ix - oix
     tmin = jnp.minimum(t0, t1)
     tmax = jnp.maximum(t0, t1)
-    t0 = (pair_ref[b + 1] - o_y) * iy
-    t1 = (pair_ref[b + 4] - o_y) * iy
+    t0 = pair_ref[b + 1] * iy - oiy
+    t1 = pair_ref[b + 4] * iy - oiy
     tmin = jnp.maximum(tmin, jnp.minimum(t0, t1))
     tmax = jnp.minimum(tmax, jnp.maximum(t0, t1))
-    t0 = (pair_ref[b + 2] - o_z) * iz
-    t1 = (pair_ref[b + 5] - o_z) * iz
+    t0 = pair_ref[b + 2] * iz - oiz
+    t1 = pair_ref[b + 5] * iz - oiz
     tmin = jnp.maximum(tmin, jnp.minimum(t0, t1))
     tmax = jnp.minimum(tmax, jnp.maximum(t0, t1))
     return (tmax >= tmin) & (tmax > t_near) & (tmin < t_far)
 
 
-def _collect_leaves_pair(pair_ref, stack_ref, leaf_buf, o_x, o_y, o_z,
+POP_W = 4  # stack pops per walk step (batched so reductions pipeline)
+
+
+def _collect_leaves_pair(pair_ref, stack_ref, leaf_buf, oix, oiy, oiz,
                          ix, iy, iz, t_near, t_far):
-    """Tile-shared PAIR walk: explicit SMEM stack over internal nodes;
-    each step slab-tests BOTH children (independent -> their any()
-    reductions pipeline) and pushes hit internals / records hit leaves.
-    Half the scalar steps of the skip-pointer walk, and the walk data
-    lives in SMEM (scalar loads, no vector->scalar extracts)."""
+    """Tile-shared PAIR walk, BATCHED: each step pops up to POP_W internal
+    nodes from the explicit SMEM stack and slab-tests all their children
+    (2*POP_W independent tests -> the expensive vector->scalar any()
+    reductions pipeline instead of serializing one-per-step), then runs
+    the scalar push logic. Short pops are padded with the builder's dummy
+    row (inverted AABBs -> never hits). Collects the same leaf SET as the
+    one-pop walk (order differs). Walk data lives flat in SMEM (scalar
+    loads, no vector->scalar extracts)."""
+    dummy = pair_ref.shape[0] // 16 - 1  # builder-appended padding row
     stack_ref[0] = 0
 
     def cond(carry):
@@ -222,29 +255,35 @@ def _collect_leaves_pair(pair_ref, stack_ref, leaf_buf, o_x, o_y, o_z,
 
     def body(carry):
         sp, cnt = carry
-        sp = sp - 1
-        i = stack_ref[sp]
-        b = i * 16
-        mayL = _slab_scalar6(pair_ref, b, o_x, o_y, o_z, ix, iy, iz,
-                             t_near, t_far)
-        mayR = _slab_scalar6(pair_ref, b + 6, o_x, o_y, o_z, ix, iy, iz,
-                             t_near, t_far)
-        hitL = jnp.any(mayL)
-        hitR = jnp.any(mayR)
-        cl = pair_ref[b + 12].astype(jnp.int32)
-        cr = pair_ref[b + 13].astype(jnp.int32)
-        leafL = cl < 0
-        leafR = cr < 0
-        # left child: unconditional writes + conditional pointer bumps
-        leaf_buf[cnt] = -cl - 1
-        cnt = jnp.where(hitL & leafL, cnt + 1, cnt)
-        stack_ref[sp] = cl
-        sp = jnp.where(hitL & ~leafL, sp + 1, sp)
-        # right child (uses the updated pointers)
-        leaf_buf[cnt] = -cr - 1
-        cnt = jnp.where(hitR & leafR, cnt + 1, cnt)
-        stack_ref[sp] = cr
-        sp = jnp.where(hitR & ~leafR, sp + 1, sp)
+        # --- pop up to POP_W (dummy-padded), issue ALL vector work first
+        idxs = []
+        for j in range(POP_W):
+            i = stack_ref[jnp.maximum(sp - 1 - j, 0)]
+            idxs.append(jnp.where(sp > j, i, dummy) * 16)
+        sp = jnp.maximum(sp - POP_W, 0)
+        hits = []
+        for b in idxs:
+            mayL = _slab_scalar6(pair_ref, b, oix, oiy, oiz, ix, iy, iz,
+                                 t_near, t_far)
+            mayR = _slab_scalar6(pair_ref, b + 6, oix, oiy, oiz, ix, iy,
+                                 iz, t_near, t_far)
+            hits.append((jnp.any(mayL), jnp.any(mayR)))
+        # --- scalar push phase
+        for b, (hitL, hitR) in zip(idxs, hits):
+            cl = pair_ref[b + 12].astype(jnp.int32)
+            cr = pair_ref[b + 13].astype(jnp.int32)
+            leafL = cl < 0
+            leafR = cr < 0
+            # left child: unconditional writes + conditional pointer bumps
+            leaf_buf[cnt] = -cl - 1
+            cnt = jnp.where(hitL & leafL, cnt + 1, cnt)
+            stack_ref[sp] = cl
+            sp = jnp.where(hitL & ~leafL, sp + 1, sp)
+            # right child (uses the updated pointers)
+            leaf_buf[cnt] = -cr - 1
+            cnt = jnp.where(hitR & leafR, cnt + 1, cnt)
+            stack_ref[sp] = cr
+            sp = jnp.where(hitR & ~leafR, sp + 1, sp)
         return sp, cnt
 
     _, cnt = jax.lax.while_loop(cond, body, (jnp.int32(1), jnp.int32(0)))
@@ -336,7 +375,8 @@ def _bvh_closest_attr_kernel(n_live_ref, pair_ref, tri_ref, attr_ref,
         t_near = tn[:]
         t_far = tf[:]
         cnt = _collect_leaves_pair(pair_ref, stack_ref, leaf_buf,
-                                   o_x, o_y, o_z, ix, iy, iz, t_near, t_far)
+                                   o_x * ix, o_y * iy, o_z * iz,
+                                   ix, iy, iz, t_near, t_far)
 
         # pass 2a: the proven 4-carry closest-hit loop (identical to
         # _bvh_closest_kernel, so winner selection matches it bit-exactly)
@@ -428,7 +468,8 @@ def _bvh_any_pair_kernel(n_live_ref, pair_ref, tri_ref, ox, oy, oz,
         t_near = tn[:]
         t_far = tf[:]
         cnt = _collect_leaves_pair(pair_ref, stack_ref, leaf_buf,
-                                   o_x, o_y, o_z, ix, iy, iz, t_near, t_far)
+                                   o_x * ix, o_y * iy, o_z * iz,
+                                   ix, iy, iz, t_near, t_far)
 
         def tri_body(j, hit):
             base = leaf_buf[j]
@@ -475,8 +516,10 @@ def bvh_any_hit_pair(pair, tris, o, d, t_near, t_far, max_leaves: int,
         out_specs=ray_spec,
         out_shape=jax.ShapeDtypeStruct((rows_pad, LANE_BLOCK), jnp.bool_),
         scratch_shapes=[
-            pltpu.SMEM((max(max_leaves, 1),), jnp.int32),
-            pltpu.SMEM((128,), jnp.int32),
+            pltpu.SMEM((max(max_leaves, 1) + 1,), jnp.int32),
+            # batched pops deepen the stack beyond tree depth; a node is
+            # pushed at most once per walk, so n_internal bounds it
+            pltpu.SMEM((max(256, pair.size // 16 + POP_W),), jnp.int32),
         ],
         interpret=interpret,
     )(jnp.asarray(n_live, jnp.int32).reshape(1), pair, tris, *planes)
@@ -553,7 +596,7 @@ def bvh_closest_hit(nodes, tris, o, d, t_near, t_far, n_nodes: int,
             jax.ShapeDtypeStruct((rows_pad, LANE_BLOCK), jnp.float32),
             jax.ShapeDtypeStruct((rows_pad, LANE_BLOCK), jnp.float32),
         ],
-        scratch_shapes=[pltpu.SMEM((max(max_leaves, 1),), jnp.int32)],
+        scratch_shapes=[pltpu.SMEM((max(max_leaves, 1) + 1,), jnp.int32)],
         interpret=interpret,
     )(jnp.asarray(n_live, jnp.int32).reshape(1), nodes, tris, *planes)
     t, i, u, v = (x.reshape(-1)[:n] for x in out)
@@ -590,8 +633,10 @@ def bvh_closest_hit_attrs(pair, tris, attrs, o, d, t_near, t_far,
         out_shape=[jax.ShapeDtypeStruct((rows_pad, LANE_BLOCK), jnp.float32)]
         * 12,
         scratch_shapes=[
-            pltpu.SMEM((max(max_leaves, 1),), jnp.int32),
-            pltpu.SMEM((128,), jnp.int32),  # DFS stack (>= max tree depth)
+            pltpu.SMEM((max(max_leaves, 1) + 1,), jnp.int32),
+            # batched pops deepen the stack beyond tree depth; a node is
+            # pushed at most once per walk, so n_internal bounds it
+            pltpu.SMEM((max(256, pair.size // 16 + POP_W),), jnp.int32),
         ],
         interpret=interpret,
     )(jnp.asarray(n_live, jnp.int32).reshape(1), pair, tris, attrs, *planes)
@@ -631,7 +676,7 @@ def bvh_any_hit(nodes, tris, o, d, t_near, t_far, n_nodes: int,
         + [ray_spec] * 8,
         out_specs=ray_spec,
         out_shape=jax.ShapeDtypeStruct((rows_pad, LANE_BLOCK), jnp.bool_),
-        scratch_shapes=[pltpu.SMEM((max(max_leaves, 1),), jnp.int32)],
+        scratch_shapes=[pltpu.SMEM((max(max_leaves, 1) + 1,), jnp.int32)],
         interpret=interpret,
     )(jnp.asarray(n_live, jnp.int32).reshape(1), nodes, tris, *planes)
     return out.reshape(-1)[:n]
