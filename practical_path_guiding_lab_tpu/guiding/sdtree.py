@@ -81,8 +81,14 @@ class SDTreeDevice:
     slot_row: jnp.ndarray = None      # (R, 8) float32
     # hemisphere-mass per 27 quantized normals (adaptive fraction)
     hemi_tab: jnp.ndarray = None      # (R, 32) float32
-    # Walker alias table over each root's leaf list (exact distribution)
-    alias_pack: jnp.ndarray = None    # (NQ, 4) f32 [prob, other_pos_f, -, -]
+    # Walker alias table over each root's leaf list (exact distribution);
+    # 16-wide rows carry BOTH candidates' geometry so sampling is ONE
+    # gather: [prob, other_local_f, self_geom(5), other_geom(5), pad]
+    alias_pack: jnp.ndarray = None    # (NQ, 16) f32
+    # fused kd point-location row, built ON DEVICE in to_device (2 setup
+    # gathers per refine): [leaf_f, slot_f, slot_row(8), hemi(32)] — the
+    # trace's kd lookup + maturity + hemisphere mass in ONE gather
+    kd_grid_f: jnp.ndarray = None     # (GX*GY*GZ, 42) float32
     # per-leaf-list-slot geometry row: [lo_x, lo_y, size, pdf, node_f]
     # (node_f: the leaf's quad NODE id as f32 — exact below 2^24 — so the
     # sampler returns the leaf it picked for free, for splat capture)
@@ -729,9 +735,23 @@ class SDTree:
         if al is None:
             al = _alias_python(leaf_cdf, n_slots, off, cnt)
         alias_prob, alias_other = al
-        alias_pack = np.zeros((nq_cap, 4), np.float32)
+        # 16-wide alias rows carry BOTH alias candidates' leaf geometry so
+        # sampling is ONE row gather (XLA TPU gathers cost ~7 ms per
+        # instruction at 1M lanes regardless of row width):
+        # [prob, other_local, self_geom(5), other_geom(5), pad]
+        alias_pack = np.zeros((nq_cap, 16), np.float32)
         alias_pack[:, 0] = alias_prob
         alias_pack[:, 1] = alias_other
+        if n_slots:
+            seg_off = np.zeros(nq_cap, np.int64)
+            for s in range(n_slots):
+                o, c = int(off[s]), int(cnt[s])
+                seg_off[o : o + c] = o
+            other_glob = (seg_off + alias_other.astype(np.int64)).clip(
+                0, nq_cap - 1
+            )
+            alias_pack[:, 2:7] = leaf_geom
+            alias_pack[:, 7:12] = leaf_geom[other_glob]
 
         # packed quad node rows: [c0..3, irr_kid0..3, depth, irr, ...]
         q_pack = np.zeros((nq_cap, 16), np.float32)
@@ -830,6 +850,15 @@ class SDTree:
         size = np.maximum(self.bbox_hi - self.bbox_lo, 1e-9)
         tables = self._build_lookup_tables()
         fast2 = self._build_fast2(tables)
+        kd_grid2_d = jnp.asarray(fast2["kd_grid2"])
+        slot_row_d = jnp.asarray(fast2["slot_row"])
+        hemi_d = jnp.asarray(fast2["hemi_tab"])
+        gs_safe = jnp.maximum(kd_grid2_d[:, 1], 0)
+        kd_grid_f = jnp.concatenate(
+            [kd_grid2_d.astype(jnp.float32), slot_row_d[gs_safe],
+             hemi_d[gs_safe]],
+            axis=-1,
+        )
         return SDTreeDevice(
             kd_axis=jnp.asarray(self.kd_axis),
             kd_split=jnp.asarray(self.kd_split),
@@ -851,9 +880,10 @@ class SDTree:
             leaf_depth=jnp.asarray(tables["leaf_depth"]),
             root_leaf_off=jnp.asarray(tables["root_leaf_off"]),
             root_leaf_cnt=jnp.asarray(tables["root_leaf_cnt"]),
-            kd_grid2=jnp.asarray(fast2["kd_grid2"]),
-            slot_row=jnp.asarray(fast2["slot_row"]),
-            hemi_tab=jnp.asarray(fast2["hemi_tab"]),
+            kd_grid2=kd_grid2_d,
+            slot_row=slot_row_d,
+            hemi_tab=hemi_d,
+            kd_grid_f=kd_grid_f,
             alias_pack=jnp.asarray(fast2["alias_pack"]),
             leaf_geom=jnp.asarray(fast2["leaf_geom"]),
             grid_pl=jnp.asarray(fast2["grid_pl"]),
@@ -1616,27 +1646,41 @@ def _alias_python(leaf_cdf, n_slots, off, cnt):
 # ===========================================================================
 
 
-def kd_lookup_grid(tree: SDTreeDevice, p):
-    """Dense-grid point query -> (kd leaf index, root slot, slot_row).
+def _kd_grid_row(tree: SDTreeDevice, p):
+    """ONE fused-row gather: (..., 42) [leaf_f, slot_f, srow(8), hemi(32)].
 
-    Exact equivalent of the kd descent (midpoint splits on axis = depth%3),
-    2 gathers (packed [leaf, slot] row + slot_row) instead of ~4 x depth."""
+    Exact equivalent of the kd descent (midpoint splits on axis = depth%3)
+    followed by the slot-row and hemisphere gathers — all merged into one
+    instruction (gather cost is per-instruction, not per-byte)."""
     bx, by, bz = tree.kd_grid_bits
     x = (p - tree.bbox_lo) * tree.bbox_inv_size
     ix = jnp.clip((x[..., 0] * (1 << bx)).astype(jnp.int32), 0, (1 << bx) - 1)
     iy = jnp.clip((x[..., 1] * (1 << by)).astype(jnp.int32), 0, (1 << by) - 1)
     iz = jnp.clip((x[..., 2] * (1 << bz)).astype(jnp.int32), 0, (1 << bz) - 1)
     cell = (ix << (by + bz)) | (iy << bz) | iz
-    row = tree.kd_grid2[cell]
-    kd_leaf = row[..., 0]
-    slot = row[..., 1]
-    srow = tree.slot_row[jnp.maximum(slot, 0)]
-    return kd_leaf, slot, srow
+    return tree.kd_grid_f[cell]
 
 
-def hemisphere_fast(tree: SDTreeDevice, slot, n):
-    """1-row-gather hemisphere mass via the per-slot 27-direction table."""
-    hrow = tree.hemi_tab[jnp.maximum(slot, 0)]  # (..., 32)
+def kd_lookup_grid(tree: SDTreeDevice, p):
+    """Dense-grid point query -> (kd leaf index, root slot, slot_row) in
+    ONE gather (the fused kd_grid_f row; ids exact as small-int floats)."""
+    row = _kd_grid_row(tree, p)
+    kd_leaf = row[..., 0].astype(jnp.int32)
+    slot = row[..., 1].astype(jnp.int32)
+    return kd_leaf, slot, row[..., 2:10]
+
+
+def kd_lookup_grid_h(tree: SDTreeDevice, p):
+    """kd_lookup_grid + the hemisphere row, still ONE gather:
+    (kd leaf, slot, srow (...,8), hemi row (...,32))."""
+    row = _kd_grid_row(tree, p)
+    kd_leaf = row[..., 0].astype(jnp.int32)
+    slot = row[..., 1].astype(jnp.int32)
+    return kd_leaf, slot, row[..., 2:10], row[..., 10:42]
+
+
+def _hemi_select(hrow, slot, n):
+    """Hemisphere mass from a prefetched 32-wide hemi row (no gather)."""
     mx = jnp.max(jnp.abs(n), axis=-1, keepdims=True)
     q = jnp.where(
         jnp.abs(n) > 0.5 * jnp.maximum(mx, 1e-12), jnp.sign(n), 0.0
@@ -1647,8 +1691,16 @@ def hemisphere_fast(tree: SDTreeDevice, slot, n):
     return jnp.where(slot >= 0, h, 0.5)
 
 
+def hemisphere_fast(tree: SDTreeDevice, slot, n):
+    """1-row-gather hemisphere mass via the per-slot 27-direction table."""
+    hrow = tree.hemi_tab[jnp.maximum(slot, 0)]  # (..., 32)
+    return _hemi_select(hrow, slot, n)
+
+
 def quad_sample_fast2(tree: SDTreeDevice, srow, u1, u2):
-    """Alias-table leaf sampling: 2 packed row gathers, exact distribution.
+    """Alias-table leaf sampling: ONE packed row gather, exact
+    distribution — the 16-wide alias row carries both candidates' leaf
+    geometry [lo_x, lo_y, size, pdf, node_f], where-selected in registers.
 
     Returns (xy, pdf, leaf): the picked leaf's quad node id rides the geom
     row for free, so the splat never re-locates tree-sampled directions."""
@@ -1661,14 +1713,13 @@ def quad_sample_fast2(tree: SDTreeDevice, srow, u1, u2):
     arow = tree.alias_pack[off + j]
     prob = arow[..., 0]
     take_self = v < prob
-    j2 = jnp.where(take_self, j, arow[..., 1].astype(jnp.int32))
     vr = jnp.where(
         take_self,
         v / jnp.maximum(prob, 1e-12),
         (v - prob) / jnp.maximum(1.0 - prob, 1e-12),
     )
     vr = jnp.clip(vr, 0.0, 1.0 - 1e-7)
-    g = tree.leaf_geom[off + j2]  # [lo_x, lo_y, size, pdf, node_f]
+    g = jnp.where(take_self[..., None], arow[..., 2:7], arow[..., 7:12])
     xy = jnp.stack(
         [g[..., 0] + g[..., 2] * vr, g[..., 1] + g[..., 2] * u2], axis=-1
     )

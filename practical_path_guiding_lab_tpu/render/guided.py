@@ -175,7 +175,7 @@ def _bounce_body(scene, tree_prev, seed0, pass_index, iteration,
         # pdf/sample/hemisphere (~1-3 gathers each) — XLA TPU gathers cost
         # ~7 ms per instruction at 1M lanes, so instruction count rules
         p, ns, wo_nee, bs_wo, g1, g2 = args
-        kd_leaf, slot, srow = sd.kd_lookup_grid(tree_prev, p)
+        kd_leaf, slot, srow, hrow = sd.kd_lookup_grid_h(tree_prev, p)
         xy2 = dir_to_canonical(jnp.concatenate([wo_nee, bs_wo], axis=0))
         slot2 = jnp.concatenate([slot, slot])
         srow2 = jnp.concatenate([srow, srow], axis=0)
@@ -186,7 +186,7 @@ def _bounce_body(scene, tree_prev, seed0, pass_index, iteration,
         t_pdf_nee, t_pdf_b = pdf2[:nn], pdf2[nn:]
         leaf_nee, leaf_b = leaf2[:nn], leaf2[nn:]
         t_xy, t_pdf_s, leaf_t = sd.quad_sample_fast2(tree_prev, srow, g1, g2)
-        h = sd.hemisphere_fast(tree_prev, slot, ns)
+        h = sd._hemi_select(hrow, slot, ns)
         return (
             t_pdf_nee, t_xy, t_pdf_s, t_pdf_b, h, srow[..., 4],
             kd_leaf, leaf_nee, leaf_b, leaf_t,
