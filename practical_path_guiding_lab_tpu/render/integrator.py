@@ -264,6 +264,16 @@ class PathTracingIntegrator:
 
     def render_pass(self, seed0, pass_index, spp=1):
         if self._stepped:
+            if spp > 1:
+                # stepped backend has no multi-spp dispatch: average the
+                # equivalent sequential passes (bitwise-equal stream)
+                img = None
+                rays_tot = 0.0
+                for sub in range(spp):
+                    im, r = self.render_pass(seed0, pass_index + sub)
+                    rays_tot += r
+                    img = im if img is None else img + im
+                return img / spp, rays_tot
             lane_ids, px, py = _film_jit()(self.scene, seed0, pass_index)
             L, rays = render_wavefront_stepped(
                 self.scene, seed0, pass_index, lane_ids, px, py

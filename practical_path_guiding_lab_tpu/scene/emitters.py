@@ -49,6 +49,12 @@ class EmitterTable:
     # packed per-emitter scalars for one-row-gather access on device:
     # [kind, area, radius, center(3), direction(3), radiance(3), pad...] (E,16)
     packed: jnp.ndarray = None
+    # emissive-tri geometry rows [v0 | e1 | e2 | pad], flat (E*K, 16):
+    # NEE position sampling reads the sampled triangle from THIS table by
+    # local id ei*K+k so the row rides the one-hot MXU gather (the global
+    # tris["soa"] table is too tall for it; XLA's native gather costs
+    # ~7 ms per instruction at 1M lanes)
+    tri_soa: jnp.ndarray = None  # (E*K, 16) float32
     env_index: int = struct.field(pytree_node=False, default=-1)
     num: int = struct.field(pytree_node=False, default=0)
 
@@ -141,6 +147,12 @@ def build_emitters(desc, tris) -> EmitterTable:
         tri_ids[ei, len(ids) :] = ids[-1]
         tri_cdf[ei, len(ids) :] = 1.0
 
+    tri_soa = np.zeros((E * K, 16), np.float32)
+    flat_ids = tri_ids.reshape(-1)
+    tri_soa[:, 0:3] = v0[flat_ids]
+    tri_soa[:, 3:6] = v1[flat_ids] - v0[flat_ids]
+    tri_soa[:, 6:9] = v2[flat_ids] - v0[flat_ids]
+
     # envmap sampling CDFs: weight = luminance * sin(theta)
     h, w = env_img.shape[:2]
     lum = env_img @ np.array([0.212671, 0.715160, 0.072169], np.float32)
@@ -164,6 +176,7 @@ def build_emitters(desc, tris) -> EmitterTable:
         packed=jnp.asarray(packed),
         tri_ids=jnp.asarray(tri_ids),
         tri_cdf=jnp.asarray(tri_cdf),
+        tri_soa=jnp.asarray(tri_soa),
         area=jnp.asarray(area),
         center=jnp.asarray(center),
         radius=jnp.asarray(radius),
@@ -272,8 +285,12 @@ def sample_nee(em: EmitterTable, tris, p, u_sel, u1, u2):
     su = safe_sqrt(u1r)
     b1 = 1.0 - su
     b2 = u2 * su
-    # packed tri row: [v0 | e1 | e2] — one gather replaces v0/v1/v2
-    trow = tris["soa"][tid]  # (..., 16)
+    # packed tri row [v0 | e1 | e2]: from the emitter-local table via the
+    # one-hot MXU gather when it fits, else the global soa gather
+    if em.tri_soa is not None and em.tri_soa.shape[0] <= 128:
+        trow = small_table_gather(em.tri_soa, ei * K + ti_local)
+    else:
+        trow = tris["soa"][tid]  # (..., 16)
     v0 = trow[..., 0:3]
     v1 = v0 + trow[..., 3:6]
     v2 = v0 + trow[..., 6:9]
