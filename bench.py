@@ -32,16 +32,16 @@ def _stats(ts):
     }
 
 
-def bench_pt(scene, n_passes=16):
+def bench_pt(scene, n_passes=16, spp=1):
     from practical_path_guiding_lab_tpu.render.path_tracer import render_pass
 
-    fn = jax.jit(render_pass, static_argnums=(3,))
-    L, _, _, rays = fn(scene, 0, 0, True)
+    fn = jax.jit(render_pass, static_argnums=(3, 4))
+    L, _, _, rays = fn(scene, 0, 0, True, spp)
     rays = float(rays)  # compile + first D2H fetch (defeats laziness)
     ts = []
     for p in range(1, n_passes + 1):
         t0 = time.perf_counter()
-        L, _, _, r = fn(scene, 0, p, True)
+        L, _, _, r = fn(scene, 0, p * spp, True, spp)
         jax.block_until_ready(L)
         ts.append(time.perf_counter() - t0)
     med = float(np.median(ts))
@@ -78,16 +78,18 @@ def bench_guided(scene, n_timed=6):
     train = {**_stats(ts), "mrays_median": round(
         rays_train / float(np.median(ts)) / 1e6, 3)}
 
+    # final-iteration protocol = the driver's: 4-spp batches in ONE
+    # dispatch (train.py batch_spp, reference main.py:123)
     integ.setIteration(3, True)
-    _, rays_final = integ.render_pass(0, spp)
-    spp += 1
+    _, rays_final = integ.render_pass(0, spp, spp=4)
+    spp += 4
     ts = []
     for _ in range(n_timed):
         t0 = time.perf_counter()
-        _, r = integ.render_pass(0, spp)
-        spp += 1
+        _, r = integ.render_pass(0, spp, spp=4)
+        spp += 4
         ts.append(time.perf_counter() - t0)
-    final = {**_stats(ts), "mrays_median": round(
+    final = {**_stats(ts), "spp_per_dispatch": 4, "mrays_median": round(
         rays_final / float(np.median(ts)) / 1e6, 3)}
     return train, final
 
@@ -101,6 +103,7 @@ def main():
     scene = compile_scene(desc)
 
     pt, _ = bench_pt(scene)
+    pt4, _ = bench_pt(scene, n_passes=8, spp=4)
     train, final = bench_guided(scene)
 
     print(
@@ -111,6 +114,7 @@ def main():
                 "unit": "Mrays/s",
                 "vs_baseline": round(pt["mrays_median"] / 100.0, 4),
                 "pt": pt,
+                "pt_4spp_dispatch": pt4,
                 "guided_train": train,
                 "guided_final": final,
                 "guided_train_vs_pt_s": round(
