@@ -74,18 +74,29 @@ class BSDFContext:
 
 
 def make_context(scene, si) -> BSDFContext:
-    """One packed material-row gather + one evaluation per texture
-    (gather diet: XLA TPU gathers cost ~7 ms each at 1M lanes)."""
-    from ..scene.textures import eval_all_textures, select_texture
+    """One packed material-row gather + at most one combined-u8-table
+    row gather per channel that statically uses bitmaps (gather diet:
+    the old per-texture f32 row gathers were ~28 ms EACH per bounce at
+    1M lanes — half the unguided veach-ajar pass)."""
+    from ..scene.textures import eval_channel
 
     m = scene.materials
     mid = si.material
     row = small_table_gather(m.packed, mid)  # (N, 16) via one-hot MXU
     kind = row[:, 0].astype(jnp.int32)
-    tex_vals = eval_all_textures(scene.textures, si.uv)
-    refl = select_texture(tex_vals, row[:, 1].astype(jnp.int32))
-    spec = select_texture(tex_vals, row[:, 2].astype(jnp.int32))
-    diff = select_texture(tex_vals, row[:, 3].astype(jnp.int32))
+    cb = m.chan_bitmap
+    refl = eval_channel(
+        scene.textures, row[:, 1].astype(jnp.int32), si.uv,
+        need_bitmap=cb[0], lane_ok=si.valid,
+    )
+    spec = eval_channel(
+        scene.textures, row[:, 2].astype(jnp.int32), si.uv,
+        need_bitmap=cb[1], lane_ok=si.valid,
+    )
+    diff = eval_channel(
+        scene.textures, row[:, 3].astype(jnp.int32), si.uv,
+        need_bitmap=cb[2], lane_ok=si.valid,
+    )
     eta_ratio = row[:, 12]
     return BSDFContext(
         kind=kind,

@@ -155,5 +155,10 @@ def small_table_gather(table, idx, max_onehot_rows: int = 128):
         return table[idx]
     flat = table.reshape(m, -1).astype(jnp.float32)
     oh = (idx[..., None] == jnp.arange(m, dtype=jnp.int32)).astype(jnp.float32)
-    out = oh @ flat
+    # HIGHEST: the default matmul precision drops low mantissa bits
+    # (measured: a one-hot gather of the f32 value 2457601.0 returned
+    # 2457600.0), which corrupts integer payloads like table offsets
+    import jax
+
+    out = jnp.matmul(oh, flat, precision=jax.lax.Precision.HIGHEST)
     return out.reshape(idx.shape + table.shape[1:]).astype(table.dtype)

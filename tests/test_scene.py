@@ -97,3 +97,70 @@ def test_camera_projection_roundtrip():
     sy = 0.5 * (1.0 - pc[:, 1] / (pc[:, 2] * float(cam.tan_y)))
     assert np.allclose(sx * 160, np.asarray(px), atol=1e-2)
     assert np.allclose(sy * 90, np.asarray(py), atol=1e-2)
+
+
+def test_texture_eval_channel_matches_reference_paths():
+    """The hot per-channel texture path (ONE combined-u8-table row gather,
+    scene/textures.py eval_channel) must agree exactly with (a) the
+    unrolled per-texture evaluation and (b) a pure-numpy bilinear oracle
+    over the raw 8-bit source (u8 + sRGB->linear reproduces the f32 load
+    path bit-for-bit by construction)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from practical_path_guiding_lab_tpu.core.spectrum import srgb_to_linear
+    from practical_path_guiding_lab_tpu.io.image import read_texture_u8
+    from practical_path_guiding_lab_tpu.scene.textures import (
+        eval_all_textures,
+        eval_channel,
+        select_texture,
+    )
+
+    desc = load_file(f"{SCENES}/veach-ajar/scene.xml", resx=32, resy=18)
+    scene = compile_scene(desc)
+    tex = scene.textures
+    assert tex.combined_u8.shape[0] > 1  # ajar has 3 u8 bitmaps
+    assert scene.materials.chan_bitmap[0]
+
+    rng = np.random.default_rng(0)
+    n = 2000
+    k_total = len(tex.images)
+    uv = jnp.asarray((rng.random((n, 2)) * 2.0 - 0.5).astype(np.float32))
+    tid = jnp.asarray(rng.integers(0, k_total, n).astype(np.int32))
+    old = select_texture(eval_all_textures(tex, uv), tid)
+    new = eval_channel(tex, tid, uv, need_bitmap=True)
+    np.testing.assert_allclose(np.asarray(new), np.asarray(old), atol=1e-6)
+
+    # numpy oracle on one bitmap (repeat wrap, v flip, bilinear): find the
+    # source file by matching its pixel dimensions to the table entry
+    k = next(i for i, off in enumerate(tex.u8_offsets) if off > 0)
+    img8 = None
+    from pathlib import Path
+
+    for f in (Path(f"{SCENES}/veach-ajar") / "textures").iterdir():
+        cand = read_texture_u8(f)
+        if cand is not None and (cand.shape[1], cand.shape[0]) == tex.sizes[k]:
+            img8 = cand
+            break
+    assert img8 is not None
+    lin = srgb_to_linear(img8.astype(np.float32) / 255.0)
+    h, w = lin.shape[:2]
+    uvn = np.asarray(uv)
+    u = uvn[:, 0] * w - 0.5
+    v = (1.0 - uvn[:, 1]) * h - 0.5
+    u0 = np.floor(u)
+    v0 = np.floor(v)
+    fu = (u - u0)[:, None]
+    fv = (v - v0)[:, None]
+    u0i = np.mod(u0.astype(np.int64), w)
+    v0i = np.mod(v0.astype(np.int64), h)
+    u1i = (u0i + 1) % w
+    v1i = (v0i + 1) % h
+    oracle = (
+        lin[v0i, u0i] * (1 - fu) * (1 - fv)
+        + lin[v0i, u1i] * fu * (1 - fv)
+        + lin[v1i, u0i] * (1 - fu) * fv
+        + lin[v1i, u1i] * fu * fv
+    )
+    got = eval_channel(tex, jnp.full((n,), k, jnp.int32), uv, need_bitmap=True)
+    np.testing.assert_allclose(np.asarray(got), oracle, atol=2e-5)
