@@ -88,7 +88,8 @@ class SDTreeDevice:
     # fused kd point-location row, built ON DEVICE in to_device (2 setup
     # gathers per refine): [leaf_f, slot_f, slot_row(8), hemi(32)] — the
     # trace's kd lookup + maturity + hemisphere mass in ONE gather
-    kd_grid_f: jnp.ndarray = None     # (GX*GY*GZ, 42) float32
+    kd_grid_f: jnp.ndarray = None     # (GX*GY*GZ, 8) float32
+    hemi_flat: jnp.ndarray = None     # (R*32,) float32 — 1-D hemi view
     # per-leaf-list-slot geometry row: [lo_x, lo_y, size, pdf, node_f]
     # (node_f: the leaf's quad NODE id as f32 — exact below 2^24 — so the
     # sampler returns the leaf it picked for free, for splat capture)
@@ -854,9 +855,13 @@ class SDTree:
         slot_row_d = jnp.asarray(fast2["slot_row"])
         hemi_d = jnp.asarray(fast2["hemi_tab"])
         gs_safe = jnp.maximum(kd_grid2_d[:, 1], 0)
+        # NARROW row: [kd_leaf, slot, root, off, cnt, root_irr, vert_cnt,
+        # pad]. Row-gather cost grows with width on TPU (42-wide cost
+        # +45 ms per 1M-lane gather vs +0 for <=4, tools/
+        # profile_gather_shapes.py width sweep); the hemisphere moved to a
+        # 1-D flat gather (hemisphere_flat).
         kd_grid_f = jnp.concatenate(
-            [kd_grid2_d.astype(jnp.float32), slot_row_d[gs_safe],
-             hemi_d[gs_safe]],
+            [kd_grid2_d.astype(jnp.float32), slot_row_d[gs_safe][:, :6]],
             axis=-1,
         )
         return SDTreeDevice(
@@ -883,6 +888,7 @@ class SDTree:
             kd_grid2=kd_grid2_d,
             slot_row=slot_row_d,
             hemi_tab=hemi_d,
+            hemi_flat=hemi_d.reshape(-1),
             kd_grid_f=kd_grid_f,
             alias_pack=jnp.asarray(fast2["alias_pack"]),
             leaf_geom=jnp.asarray(fast2["leaf_geom"]),
@@ -1646,37 +1652,45 @@ def _alias_python(leaf_cdf, n_slots, off, cnt):
 # ===========================================================================
 
 
-def _kd_grid_row(tree: SDTreeDevice, p):
-    """ONE fused-row gather: (..., 42) [leaf_f, slot_f, srow(8), hemi(32)].
+def _kd_grid_row(tree: SDTreeDevice, p, ok=None):
+    """ONE narrow-row gather: (..., 8) [leaf_f, slot_f, srow(6)].
 
     Exact equivalent of the kd descent (midpoint splits on axis = depth%3)
-    followed by the slot-row and hemisphere gathers — all merged into one
-    instruction (gather cost is per-instruction, not per-byte)."""
+    followed by the slot-row gather — merged into one instruction. ``ok``:
+    lanes not needing the lookup (dead/missed, STALE positions) read row 0
+    instead of issuing a random HBM access (the gather is latency-bound).
+    """
     bx, by, bz = tree.kd_grid_bits
     x = (p - tree.bbox_lo) * tree.bbox_inv_size
     ix = jnp.clip((x[..., 0] * (1 << bx)).astype(jnp.int32), 0, (1 << bx) - 1)
     iy = jnp.clip((x[..., 1] * (1 << by)).astype(jnp.int32), 0, (1 << by) - 1)
     iz = jnp.clip((x[..., 2] * (1 << bz)).astype(jnp.int32), 0, (1 << bz) - 1)
     cell = (ix << (by + bz)) | (iy << bz) | iz
+    if ok is not None:
+        cell = jnp.where(ok, cell, 0)
     return tree.kd_grid_f[cell]
 
 
-def kd_lookup_grid(tree: SDTreeDevice, p):
+def kd_lookup_grid(tree: SDTreeDevice, p, ok=None):
     """Dense-grid point query -> (kd leaf index, root slot, slot_row) in
     ONE gather (the fused kd_grid_f row; ids exact as small-int floats)."""
-    row = _kd_grid_row(tree, p)
+    row = _kd_grid_row(tree, p, ok)
     kd_leaf = row[..., 0].astype(jnp.int32)
     slot = row[..., 1].astype(jnp.int32)
-    return kd_leaf, slot, row[..., 2:10]
+    return kd_leaf, slot, row[..., 2:8]
 
 
-def kd_lookup_grid_h(tree: SDTreeDevice, p):
-    """kd_lookup_grid + the hemisphere row, still ONE gather:
-    (kd leaf, slot, srow (...,8), hemi row (...,32))."""
-    row = _kd_grid_row(tree, p)
-    kd_leaf = row[..., 0].astype(jnp.int32)
-    slot = row[..., 1].astype(jnp.int32)
-    return kd_leaf, slot, row[..., 2:10], row[..., 10:42]
+def hemisphere_flat(tree: SDTreeDevice, slot, n):
+    """Usable-hemisphere mass in ONE 1-D gather: the 27-direction code is
+    computed from the shading normal FIRST, so only hemi_flat[slot*32 +
+    code] is read (the old path gathered the whole 32-wide row)."""
+    mx = jnp.max(jnp.abs(n), axis=-1, keepdims=True)
+    q = jnp.where(
+        jnp.abs(n) > 0.5 * jnp.maximum(mx, 1e-12), jnp.sign(n), 0.0
+    ).astype(jnp.int32)
+    code = (q[..., 0] + 1) + 3 * (q[..., 1] + 1) + 9 * (q[..., 2] + 1)
+    h = tree.hemi_flat[jnp.maximum(slot, 0) * 32 + code]
+    return jnp.where(slot >= 0, h, 0.5)
 
 
 def _hemi_select(hrow, slot, n):
@@ -1697,10 +1711,13 @@ def hemisphere_fast(tree: SDTreeDevice, slot, n):
     return _hemi_select(hrow, slot, n)
 
 
-def quad_sample_fast2(tree: SDTreeDevice, srow, u1, u2):
+def quad_sample_fast2(tree: SDTreeDevice, srow, u1, u2, ok=None):
     """Alias-table leaf sampling: ONE packed row gather, exact
     distribution — the 16-wide alias row carries both candidates' leaf
     geometry [lo_x, lo_y, size, pdf, node_f], where-selected in registers.
+
+    ``ok``: lanes that won't use the sample (BSDF branch, delta lobes,
+    dead lanes) read row 0 instead of a random HBM access.
 
     Returns (xy, pdf, leaf): the picked leaf's quad node id rides the geom
     row for free, so the splat never re-locates tree-sampled directions."""
@@ -1710,7 +1727,10 @@ def quad_sample_fast2(tree: SDTreeDevice, srow, u1, u2):
     scaled = u1 * cnt.astype(jnp.float32)
     j = jnp.clip(scaled.astype(jnp.int32), 0, cnt - 1)
     v = jnp.clip(scaled - j.astype(jnp.float32), 0.0, 1.0 - 1e-7)
-    arow = tree.alias_pack[off + j]
+    aidx = off + j
+    if ok is not None:
+        aidx = jnp.where(ok, aidx, 0)
+    arow = tree.alias_pack[aidx]
     prob = arow[..., 0]
     take_self = v < prob
     vr = jnp.where(
@@ -1762,7 +1782,7 @@ def _two_level_cells(tree: SDTreeDevice, xy):
     return cy * res + cx, sy * sres + sx
 
 
-def quad_pdf_leaf_fast2(tree: SDTreeDevice, slot, srow, xy):
+def quad_pdf_leaf_fast2(tree: SDTreeDevice, slot, srow, xy, ok=None):
     """Two-level-grid pdf + point location in ONE packed-row gather chain.
 
     The pdf of a direction IS the pdf of the leaf containing it, so both
@@ -1775,12 +1795,20 @@ def quad_pdf_leaf_fast2(tree: SDTreeDevice, slot, srow, xy):
     res = 1 << tree.grid_l
     sres = 1 << tree.sub_l
     cell, subcell = _two_level_cells(tree, xy)
-    row = tree.grid_pl[jnp.maximum(slot, 0) * (res * res) + cell]
+    gidx = jnp.maximum(slot, 0) * (res * res) + cell
+    if ok is not None:
+        gidx = jnp.where(ok, gidx, 0)
+    row = tree.grid_pl[gidx]
     v, g = row[..., 0], row[..., 1]
     done0 = g >= 0
+    if ok is not None:
+        done0 = done0 | ~ok   # masked lanes never take the residual tail
     sub_cap = tree.sub_pl.shape[0] // (sres * sres)
     sub = jnp.clip((-g).astype(jnp.int32) - 1, 0, sub_cap - 1)
-    row2 = tree.sub_pl[sub * (sres * sres) + subcell]
+    sidx = sub * (sres * sres) + subcell
+    if ok is not None:
+        sidx = jnp.where(ok, sidx, 0)
+    row2 = tree.sub_pl[sidx]
     v2, g2 = row2[..., 0], row2[..., 1]
     done1 = done0 | (g2 >= 0)
     pdf01 = jnp.where(done0, jnp.maximum(v, 0.0), jnp.maximum(v2, 0.0))

@@ -70,6 +70,31 @@ def log_fraction_policy():
         )
 
 
+def _mixture_fraction(hemi, vert_cnt, depth, bsdf_fraction):
+    """Per-lane bsdfSamplingFraction. Reference mode: the constant
+    (path_guiding_integrator.py:223). Adaptive mode (default): scale the
+    tree's share by its usable hemisphere mass h — f = 1 - (1-f0)*h —
+    so cells whose flux lies below this surface's horizon degrade to
+    BSDF sampling instead of wasting up to ~86% of their tree picks
+    (unbiased: every pdf uses the same per-lane fraction)."""
+    if not adaptive_fraction_enabled():
+        return jnp.full(hemi.shape, bsdf_fraction)
+    import os
+
+    policy = os.environ.get("PPG_FRAC_POLICY", "hsq")
+    if policy == "trust":  # only trees with >50% usable mass
+        share = jnp.maximum(2.0 * hemi - 1.0, 0.0)
+    elif policy.startswith("hsq"):
+        share = hemi * hemi
+    else:  # "h": tree share proportional to usable mass
+        share = hemi
+    if policy.endswith("m"):  # maturity gate: distrust sparse cells
+        share = share * jnp.clip(vert_cnt / 1000.0, 0.0, 1.0)
+    frac = 1.0 - (1.0 - bsdf_fraction) * share
+    max_guided_depth = int(os.environ.get("PPG_GUIDE_MAX_DEPTH", "99"))
+    return jnp.where(depth < max_guided_depth, frac, 1.0)
+
+
 def _init_state(scene, px, py, lane_ids, record: bool):
     n_rays = px.shape[0]
     sx = px / scene.camera.width
@@ -182,70 +207,62 @@ def _bounce_body(scene, tree_prev, seed0, pass_index, iteration,
 
     # All SD-tree descents behind one lax.cond: unguided iterations
     # (0 and 1, and pure-PT comparisons) skip the gather-heavy tree work
-    # entirely; guided iterations run it once per bounce.
+    # entirely; guided iterations run it once per bounce. Every tree
+    # gather is masked to the lanes that actually consume its result
+    # (gathers are HBM-latency-bound: pruned reads are direct wins).
     def _tree_work(args):
-        # gather-diet paths: dense-grid kd lookup (2 gathers), packed-row
-        # pdf/sample/hemisphere (~1-3 gathers each) — XLA TPU gathers cost
-        # ~7 ms per instruction at 1M lanes, so instruction count rules
-        p, ns, wo_nee, bs_wo, g1, g2 = args
-        kd_leaf, slot, srow, hrow = sd.kd_lookup_grid_h(tree_prev, p)
+        p, ns, wo_nee, bs_wo, g1, g2, hit, nee_ok_pre, bs_delta, u_g = args
+        kd_leaf, slot, srow = sd.kd_lookup_grid(tree_prev, p, ok=hit)
+        h = sd.hemisphere_flat(tree_prev, slot, ns)
+        frac = _mixture_fraction(h, srow[..., 4], depth, bsdf_fraction)
+        # tree-vs-BSDF pick (reference :283,286 minus the use_guiding
+        # term, which is True inside this branch)
+        take = hit & ~bs_delta & (u_g >= frac)
         xy2 = dir_to_canonical(jnp.concatenate([wo_nee, bs_wo], axis=0))
         slot2 = jnp.concatenate([slot, slot])
         srow2 = jnp.concatenate([srow, srow], axis=0)
         # pdf AND leaf ids from one packed gather chain: the leaf ids are
-        # captured into the records so the splat needs no point location
-        pdf2, leaf2 = sd.quad_pdf_leaf_fast2(tree_prev, slot2, srow2, xy2)
+        # captured into the records so the splat needs no point location.
+        # NEE half only matters where the shadow test can contribute;
+        # the BSDF half feeds records on every hit lane.
+        ok2 = jnp.concatenate([hit & nee_ok_pre, hit])
+        pdf2, leaf2 = sd.quad_pdf_leaf_fast2(
+            tree_prev, slot2, srow2, xy2, ok=ok2
+        )
         nn = p.shape[0]
         t_pdf_nee, t_pdf_b = pdf2[:nn], pdf2[nn:]
         leaf_nee, leaf_b = leaf2[:nn], leaf2[nn:]
-        t_xy, t_pdf_s, leaf_t = sd.quad_sample_fast2(tree_prev, srow, g1, g2)
-        h = sd._hemi_select(hrow, slot, ns)
+        t_xy, t_pdf_s, leaf_t = sd.quad_sample_fast2(
+            tree_prev, srow, g1, g2, ok=take
+        )
         return (
-            t_pdf_nee, t_xy, t_pdf_s, t_pdf_b, h, srow[..., 4],
+            t_pdf_nee, t_xy, t_pdf_s, t_pdf_b, frac, take,
             kd_leaf, leaf_nee, leaf_b, leaf_t,
         )
 
     def _no_tree(args):
-        p, ns, wo_nee, bs_wo, g1, g2 = args
+        p = args[0]
         z = jnp.zeros(p.shape[:-1], jnp.float32)
         neg = jnp.full(p.shape[:-1], -1, jnp.int32)
         return (
-            z, jnp.zeros(p.shape[:-1] + (2,), jnp.float32), z, z, z + 1.0, z,
+            z, jnp.zeros(p.shape[:-1] + (2,), jnp.float32), z, z,
+            jnp.full(p.shape[:-1], bsdf_fraction, jnp.float32),
+            jnp.zeros(p.shape[:-1], bool),
             neg, neg, neg, neg,
         )
 
     (
-        tree_pdf_nee, tree_xy, tree_pdf_t, tree_pdf_b, hemi, vert_cnt,
+        tree_pdf_nee, tree_xy, tree_pdf_t, tree_pdf_b, frac, take_tree,
         cap_kd, cap_leaf_nee, cap_leaf_b, cap_leaf_t,
     ) = jax.lax.cond(
         use_guiding,
         _tree_work,
         _no_tree,
-        (si.p, si.ns, nee["wo"], bs["wo"], g1, g2),
+        (
+            si.p, si.ns, nee["wo"], bs["wo"], g1, g2,
+            hit, nee_pre, bs["delta"], u_guide,
+        ),
     )
-    # Per-lane bsdfSamplingFraction. Reference mode: the constant
-    # (path_guiding_integrator.py:223). Adaptive mode (default): scale the
-    # tree's share by its usable hemisphere mass h — f = 1 - (1-f0)*h —
-    # so cells whose flux lies below this surface's horizon degrade to
-    # BSDF sampling instead of wasting up to ~86% of their tree picks
-    # (unbiased: every pdf below uses the same per-lane fraction).
-    if adaptive_fraction_enabled():
-        import os
-
-        policy = os.environ.get("PPG_FRAC_POLICY", "hsq")
-        if policy == "trust":  # only trees with >50% usable mass
-            share = jnp.maximum(2.0 * hemi - 1.0, 0.0)
-        elif policy.startswith("hsq"):
-            share = hemi * hemi
-        else:  # "h": tree share proportional to usable mass
-            share = hemi
-        if policy.endswith("m"):  # maturity gate: distrust sparse cells
-            share = share * jnp.clip(vert_cnt / 1000.0, 0.0, 1.0)
-        frac = 1.0 - (1.0 - bsdf_fraction) * share
-        max_guided_depth = int(os.environ.get("PPG_GUIDE_MAX_DEPTH", "99"))
-        frac = jnp.where(depth < max_guided_depth, frac, 1.0)
-    else:
-        frac = jnp.full(hemi.shape, bsdf_fraction)
     surface_pdf = jnp.where(
         use_guiding,
         frac * pdf_bsdf_nee
@@ -270,7 +287,6 @@ def _bounce_body(scene, tree_prev, seed0, pass_index, iteration,
     L = L + Lr_dir
 
     do_mix = use_guiding & ~bs["delta"]  # :283,286
-    take_tree = do_mix & (u_guide >= frac)
 
     wo_tree = canonical_to_dir(tree_xy)
     f_tree, bsdf_pdf_tree = bsdf_mod.eval_pdf(ctx, si.wi_world, wo_tree)
