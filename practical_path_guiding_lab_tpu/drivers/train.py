@@ -151,18 +151,25 @@ def train(cfg: TrainConfig):
                 cfg.initial_seed, cumm_spp, spp=curr_pass_spp
             )
             total_rays += rays
-            pass_img = np.asarray(img)
-
-            w_img = pass_img * (curr_pass_spp / iter_spp)
+            # accumulate ON DEVICE: the old per-pass np.asarray(img) moved
+            # the full 11 MB film to the host EVERY pass (~5 s/pass over
+            # the tunnel, ~3x the render itself); host conversion now
+            # happens only at write/save points
+            w_img = img * (curr_pass_spp / iter_spp)
             curr_iter_image = (
                 w_img if curr_iter_image is None else curr_iter_image + w_img
             )
             if is_final:
                 curr_iter_image_acc = (
-                    pass_img
+                    img
                     if curr_iter_image_acc is None
-                    else curr_iter_image_acc + pass_img
+                    else curr_iter_image_acc + img
                 )
+            # scalar fetch: forces the async backend to finish the pass so
+            # per-pass wall-clock attribution stays honest
+            float(curr_iter_image[0, 0, 0])
+            if is_final:
+                float(curr_iter_image_acc[0, 0, 0])
 
             image_spp += curr_pass_spp
             iter_spp_count += curr_pass_spp

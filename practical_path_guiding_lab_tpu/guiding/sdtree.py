@@ -84,7 +84,10 @@ class SDTreeDevice:
     # Walker alias table over each root's leaf list (exact distribution);
     # 16-wide rows carry BOTH candidates' geometry so sampling is ONE
     # gather: [prob, other_local_f, self_geom(5), other_geom(5), pad]
-    alias_pack: jnp.ndarray = None    # (NQ, 16) f32
+    alias_ab: jnp.ndarray = None      # (NQ, 2) f32 [prob, other_glob_row]
+    leaf_geomp: jnp.ndarray = None    # (NQ, 4) f32 [u32(lo_x_q|d<<20),
+    #   u32(lo_y_q), pdf, node_f] — lo quantized at 2^-20 (EXACT: leaf
+    #   origins are multiples of 2^-depth, depth <= 20)
     # fused kd point-location row, built ON DEVICE in to_device (2 setup
     # gathers per refine): [leaf_f, slot_f, slot_row(8), hemi(32)] — the
     # trace's kd lookup + maturity + hemisphere mass in ONE gather
@@ -736,13 +739,6 @@ class SDTree:
         if al is None:
             al = _alias_python(leaf_cdf, n_slots, off, cnt)
         alias_prob, alias_other = al
-        # 16-wide alias rows carry BOTH alias candidates' leaf geometry so
-        # sampling is ONE row gather (XLA TPU gathers cost ~7 ms per
-        # instruction at 1M lanes regardless of row width):
-        # [prob, other_local, self_geom(5), other_geom(5), pad]
-        alias_pack = np.zeros((nq_cap, 16), np.float32)
-        alias_pack[:, 0] = alias_prob
-        alias_pack[:, 1] = alias_other
         if n_slots:
             seg_off = np.zeros(nq_cap, np.int64)
             for s in range(n_slots):
@@ -751,8 +747,25 @@ class SDTree:
             other_glob = (seg_off + alias_other.astype(np.int64)).clip(
                 0, nq_cap - 1
             )
-            alias_pack[:, 2:7] = leaf_geom
-            alias_pack[:, 7:12] = leaf_geom[other_glob]
+        # narrow-row alias: W=2 [prob, other_glob] + W=4 packed geometry
+        # (row-gather cost grows with width; <=4-wide is free, 16-wide is
+        # +19 ms per 1M-lane gather — tools/profile_gather_shapes.py)
+        alias_ab = np.zeros((nq_cap, 2), np.float32)
+        alias_ab[:, 0] = alias_prob
+        if n_slots:
+            alias_ab[:, 1] = other_glob.astype(np.float32)
+        lo_q = np.round(leaf_geom[:, 0:2] * (1 << 20)).astype(np.int64)
+        assert np.all(np.abs(lo_q * (1.0 / (1 << 20)) - leaf_geom[:, 0:2]) == 0.0), \
+            "leaf origins must be exact multiples of 2^-20"
+        d_q = np.round(-np.log2(np.maximum(leaf_geom[:, 2], 1e-30))).astype(np.int64)
+        d_q = np.clip(d_q, 0, 31)
+        leaf_geomp = np.zeros((nq_cap, 4), np.float32)
+        leaf_geomp[:, 0] = (
+            (lo_q[:, 0] | (d_q << 20)).astype(np.uint32).view(np.float32)
+        )
+        leaf_geomp[:, 1] = lo_q[:, 1].astype(np.uint32).view(np.float32)
+        leaf_geomp[:, 2] = leaf_geom[:, 3]
+        leaf_geomp[:, 3] = leaf_geom[:, 4]
 
         # packed quad node rows: [c0..3, irr_kid0..3, depth, irr, ...]
         q_pack = np.zeros((nq_cap, 16), np.float32)
@@ -841,7 +854,8 @@ class SDTree:
             kd_ext[:, a] = size[a] * np.exp2(-halvings.astype(np.float32))
         return dict(
             kd_grid2=kd_grid2, kd_grid_bits=bits,
-            slot_row=slot_row, hemi_tab=hemi, alias_pack=alias_pack,
+            slot_row=slot_row, hemi_tab=hemi,
+            alias_ab=alias_ab, leaf_geomp=leaf_geomp,
             leaf_geom=leaf_geom, grid_pl=grid_pl.reshape(-1, 2),
             sub_pl=sub_pl.reshape(-1, 2),
             q_pack=q_pack, kd_ext=kd_ext,
@@ -890,7 +904,8 @@ class SDTree:
             hemi_tab=hemi_d,
             hemi_flat=hemi_d.reshape(-1),
             kd_grid_f=kd_grid_f,
-            alias_pack=jnp.asarray(fast2["alias_pack"]),
+            alias_ab=jnp.asarray(fast2["alias_ab"]),
+            leaf_geomp=jnp.asarray(fast2["leaf_geomp"]),
             leaf_geom=jnp.asarray(fast2["leaf_geom"]),
             grid_pl=jnp.asarray(fast2["grid_pl"]),
             sub_pl=jnp.asarray(fast2["sub_pl"]),
@@ -1730,8 +1745,8 @@ def quad_sample_fast2(tree: SDTreeDevice, srow, u1, u2, ok=None):
     aidx = off + j
     if ok is not None:
         aidx = jnp.where(ok, aidx, 0)
-    arow = tree.alias_pack[aidx]
-    prob = arow[..., 0]
+    ab = tree.alias_ab[aidx]              # W=2: [prob, other_glob_row]
+    prob = ab[..., 0]
     take_self = v < prob
     vr = jnp.where(
         take_self,
@@ -1739,12 +1754,18 @@ def quad_sample_fast2(tree: SDTreeDevice, srow, u1, u2, ok=None):
         (v - prob) / jnp.maximum(1.0 - prob, 1e-12),
     )
     vr = jnp.clip(vr, 0.0, 1.0 - 1e-7)
-    g = jnp.where(take_self[..., None], arow[..., 2:7], arow[..., 7:12])
-    xy = jnp.stack(
-        [g[..., 0] + g[..., 2] * vr, g[..., 1] + g[..., 2] * u2], axis=-1
-    )
-    pdf = g[..., 3]
-    leaf = g[..., 4].astype(jnp.int32)
+    cidx = jnp.where(take_self, aidx, ab[..., 1].astype(jnp.int32))
+    if ok is not None:
+        cidx = jnp.where(ok, cidx, 0)
+    g4 = tree.leaf_geomp[cidx]            # W=4 packed chosen-leaf geometry
+    w0 = jax.lax.bitcast_convert_type(g4[..., 0], jnp.uint32)
+    w1 = jax.lax.bitcast_convert_type(g4[..., 1], jnp.uint32)
+    lo_x = (w0 & np.uint32(0xFFFFF)).astype(jnp.float32) * np.float32(2.0 ** -20)
+    lo_y = (w1 & np.uint32(0xFFFFF)).astype(jnp.float32) * np.float32(2.0 ** -20)
+    size = jnp.exp2(-((w0 >> np.uint32(20)) & np.uint32(0x1F)).astype(jnp.float32))
+    xy = jnp.stack([lo_x + size * vr, lo_y + size * u2], axis=-1)
+    pdf = g4[..., 2]
+    leaf = g4[..., 3].astype(jnp.int32)
     uni = root_irr <= 0
     xy = jnp.where(uni[..., None], jnp.stack([u1, u2], axis=-1), xy)
     pdf = jnp.where(uni, INV_FOUR_PI, pdf)
@@ -1806,6 +1827,9 @@ def quad_pdf_leaf_fast2(tree: SDTreeDevice, slot, srow, xy, ok=None):
     sub_cap = tree.sub_pl.shape[0] // (sres * sres)
     sub = jnp.clip((-g).astype(jnp.int32) - 1, 0, sub_cap - 1)
     sidx = sub * (sres * sres) + subcell
+    # lanes resolved at level 1 (or masked) read row 0 — most cells
+    # resolve at level 1, so this prunes most of the gather's HBM reads
+    sidx = jnp.where(done0, 0, sidx)
     if ok is not None:
         sidx = jnp.where(ok, sidx, 0)
     row2 = tree.sub_pl[sidx]
@@ -1881,7 +1905,7 @@ def quad_leaf_lookup_fast2(tree: SDTreeDevice, slot, xy):
     done0 = g >= 0
     sub_cap = tree.sub_pl.shape[0] // (sres * sres)
     sub = jnp.clip((-g).astype(jnp.int32) - 1, 0, sub_cap - 1)
-    n2 = tree.sub_pl[sub * (sres * sres) + subcell][..., 1]
+    n2 = tree.sub_pl[jnp.where(done0, 0, sub * (sres * sres) + subcell)][..., 1]
     done1 = done0 | (n2 >= 0)
     node01 = jnp.where(done0, g, jnp.maximum(n2, 0.0)).astype(jnp.int32)
     node0 = (-n2).astype(jnp.int32) - 1  # internal at grid_l+sub_l
