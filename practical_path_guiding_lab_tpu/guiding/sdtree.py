@@ -648,7 +648,7 @@ class SDTree:
     def _build_fast2(self, tables):
         """Gather-diet tables: per-slot rows, hemisphere table, alias
         tables, leaf geometry rows, per-cell pdf grid, packed quad rows."""
-        max_roots = self.max_roots
+        max_roots = self.slot_capacity
         res = 1 << GRID_L
         cells = res * res
         root_slot = tables["root_slot"]
@@ -923,18 +923,36 @@ class SDTree:
     def max_roots(self) -> int:
         return self.kd_capacity // 2 + 2
 
+    @property
+    def slot_capacity(self) -> int:
+        """Tight power-of-2 capacity for slot-indexed device tables.
+
+        Sizing them at ``max_roots`` (kd CAPACITY) made the per-(slot,
+        cell) pdf grid a 134 MB table of which only the first ~n_slots*64
+        rows were ever touched — and gathers over huge tables are
+        HBM-latency-bound. Live-count-based sizing keeps it cache-sized
+        and stable across refines (pow2 growth like the node pools)."""
+        live = self.kd_leaf[: self.kd_count] & (
+            self.kd_quad_root[: self.kd_count] >= 0
+        )
+        n = int(np.asarray(live).sum()) + 1
+        cap = 64
+        while cap < n:
+            cap *= 2
+        return min(cap, self.max_roots)
+
     def _build_lookup_tables(self):
         """Flattened leaf-CDF + point-location grid (see fast paths below).
         Native C++ when available; numpy/python reference otherwise."""
         from . import native
 
-        t = native.build_lookup(self, GRID_L, self.max_roots)
+        t = native.build_lookup(self, GRID_L, self.slot_capacity)
         if t is not None:
             return t
         # --- python fallback (reference implementation) ---
         res = 1 << GRID_L
         cells = res * res
-        max_roots = self.max_roots
+        max_roots = self.slot_capacity
         root_slot = np.full(self.quad_capacity, -1, np.int32)
         grid_node = np.zeros((max_roots, cells), np.int32)
         leaf_node = np.zeros(self.quad_capacity, np.int32)
