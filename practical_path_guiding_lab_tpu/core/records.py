@@ -71,12 +71,43 @@ class PathRecords:
     kd_leaf: jnp.ndarray             # (D, N) int32
     q_leaf: jnp.ndarray              # (D, N) int32
     q_leaf_nee: jnp.ndarray          # (D, N) int32
+    # Folded splat coefficients (production trace): the per-vertex
+    # radiance reconstruction (path_guiding_integrator.py:434-453)
+    #   value = luminance((L_final - thrRad) / thrBsdf / bsdfWeight)/woPdf
+    # is LINEAR in L_final, so it folds into two record-time terms:
+    #   value = dot(L_final, splat_ca) - splat_b,
+    #   splat_ca = lum_w / (thrBsdf * bsdfWeight * woPdf)  (per channel)
+    #   splat_b  = luminance(thrRad / (thrBsdf*bsdfWeight)) / woPdf
+    # and the NEE stream is fully record-time:
+    #   splat_nee = luminance(nee_radiance) / woPdf.
+    # The splat then reads 5 scalars/vertex instead of 15 — it was
+    # HBM-traffic-bound on record reads. Zeroed where any denominator
+    # channel is 0 or the pdf is bad (exactly the old guard semantics).
+    # None when the trace records the reference-parity raw fields instead
+    # (PPG_FULL_RECORDS=1, or records built by hand in tests/tools).
+    splat_ca: jnp.ndarray = None     # (D, N, 3)
+    splat_b: jnp.ndarray = None      # (D, N)
+    splat_nee: jnp.ndarray = None    # (D, N)
 
     @staticmethod
-    def zeros(num_rays: int, max_depth: int) -> "PathRecords":
+    def zeros(num_rays: int, max_depth: int, slim: bool = False) -> "PathRecords":
+        """``slim``: production layout — folded splat coefficients
+        present, raw radiometric fields absent (None). The raw fields are
+        only consumed by the splat's reconstruction (now folded) and by
+        parity tooling; PPG_FULL_RECORDS=1 restores them."""
         n, d = num_rays, max_depth
         f = lambda *s: jnp.zeros((d, n) + s, jnp.float32)
         neg = lambda: jnp.full((d, n), -1, jnp.int32)
+        if slim:
+            return PathRecords(
+                lane=neg(),
+                position=f(3), canonical_dir=f(2),
+                throughput_radiance=None, throughput_bsdf=None,
+                bsdf_weight=None, nee_radiance=None, nee_dir=f(2),
+                wo_pdf=None, bsdf_pdf=None, is_delta=None,
+                kd_leaf=neg(), q_leaf=neg(), q_leaf_nee=neg(),
+                splat_ca=f(3), splat_b=f(), splat_nee=f(),
+            )
         return PathRecords(
             lane=neg(),
             position=f(3), canonical_dir=f(2),

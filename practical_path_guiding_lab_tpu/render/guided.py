@@ -116,7 +116,12 @@ def _init_state(scene, px, py, lane_ids, record: bool):
         "rays_cast": jnp.float32(0.0),
     }
     if record:
-        state["recs"] = PathRecords.zeros(n_rays, scene.max_depth)
+        import os
+
+        state["recs"] = PathRecords.zeros(
+            n_rays, scene.max_depth,
+            slim=os.environ.get("PPG_FULL_RECORDS", "0") != "1",
+        )
     return state
 
 
@@ -324,22 +329,12 @@ def _bounce_body(scene, tree_prev, seed0, pass_index, iteration,
                 )
             return jax.lax.dynamic_update_index_in_dim(arr, value, depth, 0)
 
-        r = r.replace(
+        nee_rad_rec = Lr_dir / jnp.maximum(tp, 1e-20)
+        updates = dict(
             lane=put("lane", jnp.where(store, rec_idx, -1)),
             position=put("position", si.p, store),
             canonical_dir=put("canonical_dir", dir_to_canonical(wo), store),
-            throughput_radiance=put("throughput_radiance", L, store),
-            throughput_bsdf=put("throughput_bsdf", tp, store),
-            bsdf_weight=put("bsdf_weight", bsdf_weight, store),
-            nee_radiance=put(
-                "nee_radiance",
-                Lr_dir / jnp.maximum(tp, 1e-20),
-                store & nee_ok,
-            ),
             nee_dir=put("nee_dir", dir_to_canonical(nee["wo"]), store & nee_ok),
-            wo_pdf=put("wo_pdf", wo_pdf, store),
-            bsdf_pdf=put("bsdf_pdf", bs["pdf"], store),
-            is_delta=put("is_delta", bs["delta"] & store),
             # captured splat targets (-1 where unavailable: unguided
             # iterations or unstored lanes -> splat falls back to lookups)
             kd_leaf=put("kd_leaf", jnp.where(store, cap_kd, -1)),
@@ -356,7 +351,45 @@ def _bounce_body(scene, tree_prev, seed0, pass_index, iteration,
                 jnp.where(store & nee_ok, cap_leaf_nee, -1),
             ),
         )
-        s["recs"] = r
+        if r.splat_ca is not None:
+            # folded reconstruction coefficients (see PathRecords): the
+            # splat reads value = dot(L_final, ca) - b, nee = splat_nee —
+            # identical math to the raw-field reconstruction, with the
+            # zero/bad-pdf guards applied per channel at record time
+            lum_w = jnp.asarray([0.212671, 0.715160, 0.072169], jnp.float32)
+            good_pdf = (wo_pdf > 0) & jnp.isfinite(wo_pdf)
+            den = tp * bsdf_weight  # (N,3) thrBsdf * bsdfWeight
+            inv_den = jnp.where(jnp.abs(den) > 0, 1.0 / den, 0.0)
+            safe_pdf = jnp.maximum(wo_pdf, 1e-30)
+            ca = jnp.where(
+                good_pdf[:, None], lum_w * inv_den / safe_pdf[:, None], 0.0
+            )
+            b_val = jnp.where(
+                good_pdf,
+                jnp.sum(lum_w * L * inv_den, axis=-1) / safe_pdf,
+                0.0,
+            )
+            nee_val = jnp.where(
+                good_pdf, luminance(nee_rad_rec) / safe_pdf, 0.0
+            )
+            updates.update(
+                splat_ca=put("splat_ca", nan_to_zero(ca), store),
+                splat_b=put("splat_b", nan_to_zero(b_val), store),
+                splat_nee=put(
+                    "splat_nee", nan_to_zero(nee_val), store & nee_ok
+                ),
+            )
+        else:
+            updates.update(
+                throughput_radiance=put("throughput_radiance", L, store),
+                throughput_bsdf=put("throughput_bsdf", tp, store),
+                bsdf_weight=put("bsdf_weight", bsdf_weight, store),
+                nee_radiance=put("nee_radiance", nee_rad_rec, store & nee_ok),
+                wo_pdf=put("wo_pdf", wo_pdf, store),
+                bsdf_pdf=put("bsdf_pdf", bs["pdf"], store),
+                is_delta=put("is_delta", bs["delta"] & store),
+            )
+        s["recs"] = r.replace(**updates)
 
     # --- spawn / throughput / RR ---
     tp_new = tp * bsdf_weight
@@ -452,26 +485,46 @@ def process_and_splat(tree_current: sd.SDTreeDevice, recs: PathRecords, L_final,
     rows carry original sample indices). ``lane_offset``: global id of this
     shard's first lane, so sharded splat jitter draws independent streams
     per device."""
-    d, n = recs.wo_pdf.shape
+    d, n = recs.lane.shape
     Lv = L_final[jnp.maximum(recs.lane, 0)]  # (D, N, 3) gather by sample row
-    outgoing = nan_to_zero(
-        (Lv - recs.throughput_radiance)
-        / jnp.where(
-            jnp.abs(recs.throughput_bsdf) > 0, recs.throughput_bsdf, jnp.inf
+    if recs.splat_ca is not None:
+        # folded-coefficient path (production trace): value is linear in
+        # L_final; the guards are baked into the coefficients. The
+        # subtraction can cancel catastrophically when dot(L, ca) ~ b
+        # with huge 1/throughput coefficients (deep low-weight paths), so
+        # values below the fp noise floor of the two terms snap to zero —
+        # which also restores the raw path's value==0 record-drop
+        # semantics for no-further-contribution vertices.
+        t1 = jnp.sum(Lv * recs.splat_ca, axis=-1)
+        raw = t1 - recs.splat_b
+        noise = 4e-7 * (jnp.abs(t1) + jnp.abs(recs.splat_b))
+        value = nan_to_zero(jnp.where(jnp.abs(raw) <= noise, 0.0, raw))
+        nee_value = recs.splat_nee
+        mask = (recs.lane >= 0) & ~((value == 0) & (nee_value == 0))
+    else:
+        outgoing = nan_to_zero(
+            (Lv - recs.throughput_radiance)
+            / jnp.where(
+                jnp.abs(recs.throughput_bsdf) > 0, recs.throughput_bsdf, jnp.inf
+            )
         )
-    )
-    incoming = nan_to_zero(
-        outgoing / jnp.where(jnp.abs(recs.bsdf_weight) > 0, recs.bsdf_weight, jnp.inf)
-    )
-    radiance = nan_to_zero(luminance(incoming))
-    nee_lum = nan_to_zero(luminance(recs.nee_radiance))
+        incoming = nan_to_zero(
+            outgoing
+            / jnp.where(jnp.abs(recs.bsdf_weight) > 0, recs.bsdf_weight, jnp.inf)
+        )
+        radiance = nan_to_zero(luminance(incoming))
+        nee_lum = nan_to_zero(luminance(recs.nee_radiance))
 
-    wo_pdf = recs.wo_pdf
-    good_pdf = (wo_pdf > 0) & jnp.isfinite(wo_pdf)
-    mask = (recs.lane >= 0) & good_pdf & ~((radiance == 0) & (nee_lum == 0))
+        wo_pdf = recs.wo_pdf
+        good_pdf = (wo_pdf > 0) & jnp.isfinite(wo_pdf)
+        mask = (recs.lane >= 0) & good_pdf & ~(
+            (radiance == 0) & (nee_lum == 0)
+        )
 
-    value = jnp.where(good_pdf, radiance / jnp.maximum(wo_pdf, 1e-30), 0.0)
-    nee_value = jnp.where(good_pdf, nee_lum / jnp.maximum(wo_pdf, 1e-30), 0.0)
+        value = jnp.where(good_pdf, radiance / jnp.maximum(wo_pdf, 1e-30), 0.0)
+        nee_value = jnp.where(
+            good_pdf, nee_lum / jnp.maximum(wo_pdf, 1e-30), 0.0
+        )
 
     flat = lambda a: a.reshape((n * d,) + a.shape[2:])
     jitter_u = None

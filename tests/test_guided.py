@@ -207,3 +207,72 @@ def test_splat_dir_filter_conserves_mass(trained, cornell_small):
         np.asarray(t_point.q_irr_acc) - np.asarray(t_dir.q_irr_acc)
     ).sum()
     assert moved > 0
+
+
+def test_slim_records_match_full_reconstruction(cornell_small):
+    """The production trace records folded splat coefficients
+    (value = dot(L_final, ca) - b) instead of the raw radiometric fields;
+    the folded math is algebraically identical to the reference
+    reconstruction (luminance is linear), so splatting either record set
+    must produce the same tree accumulators up to fp reassociation and
+    the documented noise-floor snap on no-information records."""
+    import os
+
+    import jax.numpy as jnp
+
+    from practical_path_guiding_lab_tpu.render import guided as g
+    from practical_path_guiding_lab_tpu.render.integrator import (
+        PathGuidingIntegrator,
+    )
+
+    scene = cornell_small
+    integ = PathGuidingIntegrator(scene)
+    integ.setup()
+    spp = 0
+    for iteration, passes in ((1, 2), (2, 3)):
+        integ.setIteration(iteration, False)
+        for _ in range(passes):
+            integ.render_pass(0, spp)
+            spp += 1
+        integ.refineAndPrepareSDTreeForNextIteration()
+    integ.setIteration(3, False)
+    lane_ids, px, py = g._film_samples(scene, 0, spp)
+
+    prev = os.environ.get("PPG_FULL_RECORDS")
+    try:
+        os.environ["PPG_FULL_RECORDS"] = "1"
+        L1, _, recs_full = g.render_guided_wavefront_stepped(
+            scene, integ.dev_tree, 0, spp, lane_ids, px, py, 3, record=True
+        )
+        g._init_jit.clear_cache()
+        g._bounce_step.clear_cache()
+        os.environ["PPG_FULL_RECORDS"] = "0"
+        L2, _, recs_slim = g.render_guided_wavefront_stepped(
+            scene, integ.dev_tree, 0, spp, lane_ids, px, py, 3, record=True
+        )
+    finally:
+        if prev is None:
+            os.environ.pop("PPG_FULL_RECORDS", None)
+        else:
+            os.environ["PPG_FULL_RECORDS"] = prev
+        g._init_jit.clear_cache()
+        g._bounce_step.clear_cache()
+
+    assert recs_slim.splat_ca is not None
+    assert recs_full.splat_ca is None
+    np.testing.assert_array_equal(np.asarray(L1), np.asarray(L2))
+
+    t_full = g.process_and_splat(integ.dev_tree, recs_full, L1, 0, spp)
+    t_slim = g.process_and_splat(integ.dev_tree, recs_slim, L2, 0, spp)
+    qf = np.asarray(t_full.q_irr_acc)
+    qs = np.asarray(t_slim.q_irr_acc)
+    vf = np.asarray(t_full.kd_vert_acc)
+    vs = np.asarray(t_slim.kd_vert_acc)
+    assert abs(qf.sum() - qs.sum()) / max(qf.sum(), 1e-9) < 1e-4
+    # per-node: deep paths with ~1e6-scale 1/throughput coefficients sit
+    # at the folded form's cancellation limit — isolated vertices can
+    # differ by up to ~1% of the largest node's flux, far below the
+    # pass-to-pass MC noise of the estimates themselves
+    assert np.abs(qf - qs).max() < 1e-2 * max(qf.max(), 1.0)
+    # drop-mask may differ only on no-information records (noise snap)
+    assert np.abs(vf - vs).sum() <= 1e-3 * max(vf.sum(), 1.0)

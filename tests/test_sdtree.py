@@ -423,3 +423,58 @@ def test_store_nee_gates_nee_splat():
     assert abs(t_on.q_irr[0] - (total_path + total_nee)) < 1e-2 * (
         total_path + total_nee
     )
+
+
+def test_masked_tree_gathers_match_unmasked(rng_np):
+    """The ok-lane masks on the tree gathers (kd row, alias sample,
+    two-level pdf/leaf) must not change results on the lanes that consume
+    them — masked-out lanes merely read row 0 instead of random rows."""
+    import jax.numpy as jnp
+    from practical_path_guiding_lab_tpu.guiding import sdtree as sd
+
+    tree = sd.SDTree([0, 0, 0], [1, 1, 1], kd_capacity=1 << 10,
+                     quad_capacity=1 << 14)
+    n = 20000
+    for _ in range(2):
+        dev = tree.to_device()
+        p = rng_np.random((n, 3)).astype(np.float32)
+        xy = rng_np.random((n, 2)).astype(np.float32)
+        val = rng_np.random(n).astype(np.float32) * 10
+        dev = sd.splat(dev, jnp.asarray(p), jnp.asarray(xy),
+                       jnp.asarray(val), jnp.ones(n, jnp.float32))
+        tree.absorb_accumulators(dev)
+        tree.kd_threshold = 3000.0
+        tree.refine()
+    dev = tree.to_device()
+
+    m = 4096
+    p = jnp.asarray(rng_np.random((m, 3)).astype(np.float32))
+    xy = jnp.asarray(rng_np.random((m, 2)).astype(np.float32))
+    u1 = jnp.asarray(rng_np.random(m).astype(np.float32))
+    u2 = jnp.asarray(rng_np.random(m).astype(np.float32))
+    ok = jnp.asarray(rng_np.random(m) < 0.6)
+    okn = np.asarray(ok)
+
+    kd_a, slot_a, srow_a = sd.kd_lookup_grid(dev, p)
+    kd_b, slot_b, srow_b = sd.kd_lookup_grid(dev, p, ok=ok)
+    np.testing.assert_array_equal(np.asarray(kd_a)[okn], np.asarray(kd_b)[okn])
+    np.testing.assert_array_equal(
+        np.asarray(srow_a)[okn], np.asarray(srow_b)[okn]
+    )
+
+    pdf_a, leaf_a = sd.quad_pdf_leaf_fast2(dev, slot_a, srow_a, xy)
+    pdf_b, leaf_b = sd.quad_pdf_leaf_fast2(dev, slot_a, srow_a, xy, ok=ok)
+    np.testing.assert_array_equal(np.asarray(pdf_a)[okn], np.asarray(pdf_b)[okn])
+    np.testing.assert_array_equal(
+        np.asarray(leaf_a)[okn], np.asarray(leaf_b)[okn]
+    )
+
+    sxy_a, spdf_a, sleaf_a = sd.quad_sample_fast2(dev, srow_a, u1, u2)
+    sxy_b, spdf_b, sleaf_b = sd.quad_sample_fast2(dev, srow_a, u1, u2, ok=ok)
+    np.testing.assert_array_equal(np.asarray(sxy_a)[okn], np.asarray(sxy_b)[okn])
+    np.testing.assert_array_equal(
+        np.asarray(spdf_a)[okn], np.asarray(spdf_b)[okn]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sleaf_a)[okn], np.asarray(sleaf_b)[okn]
+    )
