@@ -97,17 +97,20 @@ class SDTreeDevice:
     # (node_f: the leaf's quad NODE id as f32 — exact below 2^24 — so the
     # sampler returns the leaf it picked for free, for splat capture)
     leaf_geom: jnp.ndarray = None     # (NQ, 5) float32
-    # per-(slot, grid cell) packed row [pdf_enc, node_enc]: a 2-wide gather
-    # costs the same as a 1-wide one (measured, PERF_NOTES), so pdf AND
-    # leaf node come from ONE gather. enc >= 0 -> final value (covering
-    # node is a leaf); enc < 0 -> -(sub_idx+1) into the level-2 subgrid
-    # pool. The zero-flux uniform-pdf fallback is applied at query time
-    # from srow's root_irr (the leaf id stays structural).
-    grid_pl: jnp.ndarray = None       # (R * 4^GRID_L, 2) float32
+    # per-(slot, grid cell) INTERLEAVED flat [pdf_enc, node_enc] pairs:
+    # cell i's pair lives at [2i, 2i+1]. 1-D gathers only — an (M,2) row
+    # gather gets XLA layout {1,0:T(8,128)} (64x last-dim padding), which
+    # at the splat's 24M-lane stream is an 11.4 GB temp -> compile OOM on
+    # TPU; two 1-D taps at adjacent addresses share the cache line.
+    # enc >= 0 -> final value (covering node is a leaf); enc < 0 ->
+    # -(sub_idx+1) into the level-2 subgrid pool. The zero-flux
+    # uniform-pdf fallback is applied at query time from srow's root_irr
+    # (the leaf id stays structural).
+    grid_pl: jnp.ndarray = None       # (R * 4^GRID_L * 2,) float32
     # level-2 subgrid pool (4^SUB_L cells per entry, covering quad depths
-    # (GRID_L, GRID_L+SUB_L]): same encodings, < 0 -> -(node+1) residual
-    # descent from depth GRID_L+SUB_L (rare: leaves deeper than 9)
-    sub_pl: jnp.ndarray = None        # (SUBCAP * 4^SUB_L, 2) float32
+    # (GRID_L, GRID_L+SUB_L]): same interleaved encoding, < 0 ->
+    # -(node+1) residual descent from depth GRID_L+SUB_L (rare)
+    sub_pl: jnp.ndarray = None        # (SUBCAP * 4^SUB_L * 2,) float32
     # packed quad node row for residual descents: [c0..c3, irr_kid0..3]
     q_pack: jnp.ndarray = None        # (NQ, 8) float32
     # per-kd-node world-space extents (for stochastic spatial splat
@@ -856,8 +859,8 @@ class SDTree:
             kd_grid2=kd_grid2, kd_grid_bits=bits,
             slot_row=slot_row, hemi_tab=hemi,
             alias_ab=alias_ab, leaf_geomp=leaf_geomp,
-            leaf_geom=leaf_geom, grid_pl=grid_pl.reshape(-1, 2),
-            sub_pl=sub_pl.reshape(-1, 2),
+            leaf_geom=leaf_geom, grid_pl=grid_pl.reshape(-1),
+            sub_pl=sub_pl.reshape(-1),
             q_pack=q_pack, kd_ext=kd_ext,
         )
 
@@ -1837,12 +1840,12 @@ def quad_pdf_leaf_fast2(tree: SDTreeDevice, slot, srow, xy, ok=None):
     gidx = jnp.maximum(slot, 0) * (res * res) + cell
     if ok is not None:
         gidx = jnp.where(ok, gidx, 0)
-    row = tree.grid_pl[gidx]
-    v, g = row[..., 0], row[..., 1]
+    v = tree.grid_pl[2 * gidx]
+    g = tree.grid_pl[2 * gidx + 1]
     done0 = g >= 0
     if ok is not None:
         done0 = done0 | ~ok   # masked lanes never take the residual tail
-    sub_cap = tree.sub_pl.shape[0] // (sres * sres)
+    sub_cap = tree.sub_pl.shape[0] // (2 * sres * sres)
     sub = jnp.clip((-g).astype(jnp.int32) - 1, 0, sub_cap - 1)
     sidx = sub * (sres * sres) + subcell
     # lanes resolved at level 1 (or masked) read row 0 — most cells
@@ -1850,8 +1853,8 @@ def quad_pdf_leaf_fast2(tree: SDTreeDevice, slot, srow, xy, ok=None):
     sidx = jnp.where(done0, 0, sidx)
     if ok is not None:
         sidx = jnp.where(ok, sidx, 0)
-    row2 = tree.sub_pl[sidx]
-    v2, g2 = row2[..., 0], row2[..., 1]
+    v2 = tree.sub_pl[2 * sidx]
+    g2 = tree.sub_pl[2 * sidx + 1]
     done1 = done0 | (g2 >= 0)
     pdf01 = jnp.where(done0, jnp.maximum(v, 0.0), jnp.maximum(v2, 0.0))
     leaf01 = jnp.where(done0, g, jnp.maximum(g2, 0.0)).astype(jnp.int32)
@@ -1919,11 +1922,12 @@ def quad_leaf_lookup_fast2(tree: SDTreeDevice, slot, xy):
     res = 1 << tree.grid_l
     sres = 1 << tree.sub_l
     cell, subcell = _two_level_cells(tree, xy)
-    g = tree.grid_pl[jnp.maximum(slot, 0) * (res * res) + cell][..., 1]
+    g = tree.grid_pl[2 * (jnp.maximum(slot, 0) * (res * res) + cell) + 1]
     done0 = g >= 0
-    sub_cap = tree.sub_pl.shape[0] // (sres * sres)
+    sub_cap = tree.sub_pl.shape[0] // (2 * sres * sres)
     sub = jnp.clip((-g).astype(jnp.int32) - 1, 0, sub_cap - 1)
-    n2 = tree.sub_pl[jnp.where(done0, 0, sub * (sres * sres) + subcell)][..., 1]
+    sidx = jnp.where(done0, 0, sub * (sres * sres) + subcell)
+    n2 = tree.sub_pl[2 * sidx + 1]
     done1 = done0 | (n2 >= 0)
     node01 = jnp.where(done0, g, jnp.maximum(n2, 0.0)).astype(jnp.int32)
     node0 = (-n2).astype(jnp.int32) - 1  # internal at grid_l+sub_l
