@@ -1070,6 +1070,20 @@ class SDTree:
         on demand, common.py:161-189); on overflow we restore the pre-refine
         state, double the overflowing pool, and retry."""
         import time as _time
+        import os as _os
+
+        if _os.environ.get("PPG_DEBUG_REFINE"):
+            _p = f"/tmp/refine_dump_kd{self.kd_count}_q{self.q_count}.npz"
+            np.savez_compressed(
+                _p,
+                kd_left=self.kd_left, kd_leaf=self.kd_leaf,
+                kd_depth=self.kd_depth, kd_vert=self.kd_vert,
+                kd_quad_root=self.kd_quad_root, kd_count=self.kd_count,
+                q_child=self.q_child, q_irr=self.q_irr,
+                q_depth=self.q_depth, q_count=self.q_count,
+                kd_threshold=self.kd_threshold,
+            )
+            print(f"[debug] pre-refine state -> {_p}", flush=True)
 
         t0 = _time.perf_counter()
         for _ in range(8):  # up to 256x growth

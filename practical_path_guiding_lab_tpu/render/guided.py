@@ -216,7 +216,7 @@ def _bounce_body(scene, tree_prev, seed0, pass_index, iteration,
     # gather is masked to the lanes that actually consume its result
     # (gathers are HBM-latency-bound: pruned reads are direct wins).
     def _tree_work(args):
-        p, ns, wo_nee, bs_wo, g1, g2, hit, nee_ok_pre, bs_delta, u_g = args
+        p, ns, wo_nee, bs_wo, g1, g2, hit, nee_ok, bs_delta, u_g = args
         kd_leaf, slot, srow = sd.kd_lookup_grid(tree_prev, p, ok=hit)
         h = sd.hemisphere_flat(tree_prev, slot, ns)
         frac = _mixture_fraction(h, srow[..., 4], depth, bsdf_fraction)
@@ -228,9 +228,17 @@ def _bounce_body(scene, tree_prev, seed0, pass_index, iteration,
         srow2 = jnp.concatenate([srow, srow], axis=0)
         # pdf AND leaf ids from one packed gather chain: the leaf ids are
         # captured into the records so the splat needs no point location.
-        # NEE half only matters where the shadow test can contribute;
-        # the BSDF half feeds records on every hit lane.
-        ok2 = jnp.concatenate([hit & nee_ok_pre, hit])
+        # Gathers are HBM-latency-bound, so each half is masked to exactly
+        # the lanes that consume it: the NEE half only where the shadow
+        # ray PASSED (w_nee is zeroed elsewhere); the BSDF half never on
+        # tree-sampled lanes (their pdf is the alias sample's t_pdf_s and
+        # their record leaf is cap_leaf_t) and, when not recording, never
+        # on delta lanes (do_mix is False there; records do need
+        # cap_leaf_b for delta vertices).
+        ok_b = hit & ~take
+        if not record:
+            ok_b = ok_b & ~bs_delta
+        ok2 = jnp.concatenate([hit & nee_ok, ok_b])
         pdf2, leaf2 = sd.quad_pdf_leaf_fast2(
             tree_prev, slot2, srow2, xy2, ok=ok2
         )
@@ -265,7 +273,7 @@ def _bounce_body(scene, tree_prev, seed0, pass_index, iteration,
         _no_tree,
         (
             si.p, si.ns, nee["wo"], bs["wo"], g1, g2,
-            hit, nee_pre, bs["delta"], u_guide,
+            hit, nee_ok, bs["delta"], u_guide,
         ),
     )
     surface_pdf = jnp.where(
@@ -494,11 +502,23 @@ def process_and_splat(tree_current: sd.SDTreeDevice, recs: PathRecords, L_final,
         # with huge 1/throughput coefficients (deep low-weight paths), so
         # values below the fp noise floor of the two terms snap to zero —
         # which also restores the raw path's value==0 record-drop
-        # semantics for no-further-contribution vertices.
+        # semantics for no-further-contribution vertices. Values are also
+        # capped ABOVE: the raw reconstruction runs (L-Lrec)/thrBsdf
+        # /bsdfWeight stepwise in f32, so extreme-1/throughput records
+        # overflow to inf mid-chain and are sanitized to 0 — the folded
+        # single product den=thrBsdf*bsdfWeight keeps them FINITE
+        # (~1e29..1e38) and one such splat poisons a quad root's flux
+        # total, whose 1% split threshold then goes negative/huge and
+        # refinement explodes (observed: 5 records at +-1e36 grew the
+        # quad pool past 134M nodes at iteration 3 on veach-ajar).
+        # Physical value scales here are < ~1e12; 1e20 <= cancellation
+        # noise scale; negatives are nonphysical (ratio of nonnegatives).
         t1 = jnp.sum(Lv * recs.splat_ca, axis=-1)
         raw = t1 - recs.splat_b
         noise = 4e-7 * (jnp.abs(t1) + jnp.abs(recs.splat_b))
-        value = nan_to_zero(jnp.where(jnp.abs(raw) <= noise, 0.0, raw))
+        value = nan_to_zero(
+            jnp.where((raw > noise) & (raw <= 1e20), raw, 0.0)
+        )
         nee_value = recs.splat_nee
         mask = (recs.lane >= 0) & ~((value == 0) & (nee_value == 0))
     else:

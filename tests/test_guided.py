@@ -276,3 +276,52 @@ def test_slim_records_match_full_reconstruction(cornell_small):
     assert np.abs(qf - qs).max() < 1e-2 * max(qf.max(), 1.0)
     # drop-mask may differ only on no-information records (noise snap)
     assert np.abs(vf - vs).sum() <= 1e-3 * max(vf.sum(), 1.0)
+
+
+def test_folded_splat_drops_overflow_scale_records():
+    """Extreme-1/throughput vertices: the raw reconstruction overflows to
+    inf mid-chain in f32 and sanitizes to zero, but the folded
+    coefficients keep the value FINITE (~1e29..1e38). One such splat
+    poisons its quad root's flux total and the 1%-of-root refinement
+    threshold goes negative/huge -> unbounded splits (observed: 5 poison
+    records grew the quad pool past 134M nodes on veach-ajar iteration
+    3). The folded path must drop them (and any negative cancellation
+    residue) while keeping normal records."""
+    import numpy as np
+    import jax.numpy as jnp
+    from practical_path_guiding_lab_tpu.core.records import PathRecords
+    from practical_path_guiding_lab_tpu.guiding import sdtree as sd
+    from practical_path_guiding_lab_tpu.render.guided import process_and_splat
+
+    N, D = 8, 2
+    recs = PathRecords.zeros(N, D, slim=True)
+    lane = np.arange(N, dtype=np.int32)[None].repeat(D, 0)
+    ca = np.zeros((D, N, 3), np.float32)
+    b = np.zeros((D, N), np.float32)
+    nee = np.zeros((D, N), np.float32)
+    # vertex 0: normal record — value = dot(L, ca) - b = 2.0 - 0.5
+    ca[0, 0] = [1.0, 1.0, 1.0]
+    b[0, 0] = 0.5
+    # vertex 1: poison — den ~ 1e-35 style coefficients, finite-huge value
+    ca[0, 1] = [1e35, 1e35, 1e35]
+    b[0, 1] = 1e34
+    # vertex 2: negative cancellation residue beyond the noise window
+    ca[0, 2] = [1.0, 1.0, 1.0]
+    b[0, 2] = 10.0
+    recs = recs.replace(
+        lane=jnp.asarray(lane),
+        position=jnp.zeros((D, N, 3)) + 0.5,
+        canonical_dir=jnp.zeros((D, N, 2)) + 0.5,
+        nee_dir=jnp.zeros((D, N, 2)) + 0.5,
+        splat_ca=jnp.asarray(ca), splat_b=jnp.asarray(b),
+        splat_nee=jnp.asarray(nee),
+    )
+    L_final = np.zeros((N, 3), np.float32)
+    L_final[:, :] = [1.0, 0.5, 0.5]
+
+    tree = sd.SDTree([0, 0, 0], [1, 1, 1], kd_capacity=64, quad_capacity=256)
+    dev = process_and_splat(tree.to_device(), recs, jnp.asarray(L_final))
+    got = float(np.asarray(dev.q_irr_acc).sum())
+    vert = float(np.asarray(dev.kd_vert_acc).sum())
+    assert abs(got - 1.5) < 1e-5, got     # only vertex 0 splats
+    assert vert == 1.0, vert              # poison/negative records dropped
