@@ -139,7 +139,17 @@ def train(cfg: TrainConfig):
             f"remaining: {budget_spp - cumm_spp}, isFinalIter: {is_final}"
         )
 
-        spp_per_pass = cfg.batch_spp if is_final else 1
+        # Training is 1 spp/pass (reference main.py:192-197, one metric row
+        # per spp). PPG_TRAIN_SPP>1 opts into batching k training samples
+        # into ONE recorded dispatch (k-fold fewer in-iteration metric
+        # rows; identical estimates — the per-slice RNG reproduces the
+        # sequential passes and the splat is additive).
+        import os as _os
+
+        spp_per_pass = (
+            cfg.batch_spp if is_final
+            else max(1, int(_os.environ.get("PPG_TRAIN_SPP", "1")))
+        )
         iter_pass = math.ceil(iter_spp / spp_per_pass)
         iter_spp_count = 0
 

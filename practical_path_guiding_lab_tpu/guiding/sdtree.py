@@ -812,9 +812,11 @@ class SDTree:
         # exactly GRID_L) down SUB_L levels, spatial [y][x] layout. Child
         # quadrant of sub-half (hx, hy): 0=(1,1) 1=(0,1) 2=(0,0) 3=(1,0).
         sres = 1 << SUB_L
+        # x4 tier growth: same recompile-avoidance rationale as
+        # slot_capacity (each new shape recompiles the bounce program)
         sub_cap = 2048
         while sub_cap < max(n_sub, 1):
-            sub_cap *= 2
+            sub_cap *= 4
         sub_pl = np.zeros((sub_cap, sres * sres, 2), np.float32)
         if n_sub:
             cur = gn[internal].reshape(n_sub, 1, 1)
@@ -928,20 +930,27 @@ class SDTree:
 
     @property
     def slot_capacity(self) -> int:
-        """Tight power-of-2 capacity for slot-indexed device tables.
+        """Coarsely-quantized capacity for slot-indexed device tables.
 
         Sizing them at ``max_roots`` (kd CAPACITY) made the per-(slot,
         cell) pdf grid a 134 MB table of which only the first ~n_slots*64
         rows were ever touched — and gathers over huge tables are
-        HBM-latency-bound. Live-count-based sizing keeps it cache-sized
-        and stable across refines (pow2 growth like the node pools)."""
+        HBM-latency-bound. But TIGHT pow2 sizing changed the table shapes
+        after almost every refine, and each new shape recompiles the
+        fused bounce + splat programs (~80-90 s each on the remote
+        backend — measured 6x ~90 s per full-res training run, more wall
+        than all the passes). The tier ladder {64, 2048, 8192, x4...}
+        keeps tests/tiny scenes small while a full-res veach-ajar run
+        sees at most two shapes (iters 0-3 at 2048, 4+ at 8192)."""
         live = self.kd_leaf[: self.kd_count] & (
             self.kd_quad_root[: self.kd_count] >= 0
         )
         n = int(np.asarray(live).sum()) + 1
         cap = 64
+        if n > cap:
+            cap = 2048
         while cap < n:
-            cap *= 2
+            cap *= 4
         return min(cap, self.max_roots)
 
     def _build_lookup_tables(self):

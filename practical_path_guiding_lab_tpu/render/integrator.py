@@ -189,6 +189,18 @@ class PathGuidingIntegrator:
 
     # ------------------------------------------------------------------ #
 
+    def _gt_device(self, ground_truth):
+        """Device-resident ground truth, cached by identity: the drivers
+        call computeVariance/computeMSE with the same host array 2-3x per
+        pass, and re-uploading the 11 MB film each call cost more than
+        the metric itself on the remote backend."""
+        cached = getattr(self, "_gt_cache", None)
+        if cached is not None and cached[0] is ground_truth:
+            return cached[1]
+        dev = jnp.asarray(ground_truth.reshape(-1, 3))
+        self._gt_cache = (ground_truth, dev)
+        return dev
+
     def computeVariance(self, spp, ground_truth=None):
         mesh = getattr(self, "mesh", None)
         if mesh is not None:
@@ -203,18 +215,20 @@ class PathGuidingIntegrator:
             )
         if ground_truth is None:
             return float(var_mod.compute_variance_self(self.sum_l, self.sum_l2, spp))
-        gt = ground_truth.reshape(-1, 3)
+        gt = self._gt_device(ground_truth)
         return float(
             var_mod.compute_variance_gt(self.sum_l, self.sum_l2, spp, gt)
         )
 
     def computeMSE(self, spp, ground_truth):
-        gt = ground_truth.reshape(-1, 3)
         mesh = getattr(self, "mesh", None)
         if mesh is not None:
             from ..parallel import sharding as sh
 
-            return sh.mse_sharded(mesh, self.sum_l, spp, gt)
+            return sh.mse_sharded(
+                mesh, self.sum_l, spp, ground_truth.reshape(-1, 3)
+            )
+        gt = self._gt_device(ground_truth)
         return float(var_mod.compute_mse(self.sum_l, spp, gt))
 
     # ------------------------------------------------------------------ #
