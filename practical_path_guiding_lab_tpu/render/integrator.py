@@ -302,5 +302,6 @@ class PathTracingIntegrator:
         img = develop_pass_image(self.scene, L, px, py)
         return img, float(rays)
 
+    _gt_device = PathGuidingIntegrator._gt_device
     computeVariance = PathGuidingIntegrator.computeVariance
     computeMSE = PathGuidingIntegrator.computeMSE
