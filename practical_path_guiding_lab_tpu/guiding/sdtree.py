@@ -547,6 +547,147 @@ def splat(tree: SDTreeDevice, p, xy, value, weight, nee_xy=None, nee_value=None,
     return tree.replace(kd_vert_acc=kd_acc, q_irr_acc=q_acc)
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("sub_cap", "sub_l"))
+def _derive_device_tables(
+    q_child, q_irr, q_depth, grid_node, leaf_cdf, leaf_node, leaf_lo,
+    leaf_depth, root_leaf_off, slot_row, n_slots, *, sub_cap, sub_l,
+):
+    """Device-side derivation of the five LARGE gather-diet tables
+    (q_pack, leaf_geom, leaf_geomp, grid_pl, sub_pl) from the minimal
+    structural arrays.
+
+    Rationale (measured, docs/PERF_NOTES.md): these tables are ~550 MB of
+    the ~750 MB device mirror on a trained full-res veach-ajar tree, and
+    the mirror is rebuilt + re-uploaded EVERY refine — 80-90 s per
+    iteration over the remote link, ~35% of the whole training run's
+    wall-clock. Deriving them on device from the ~200 MB of structural
+    arrays turns that into a few ms of gathers. The host builder
+    (``SDTree._build_fast2(big=True)``) is kept as the differential-test
+    reference (host computes in f64, device in f32 — pdf columns agree to
+    f32 rounding; structural columns are exact).
+    """
+    f32 = jnp.float32
+    nq_cap = q_child.shape[0]
+    max_roots, cells = grid_node.shape
+    root_irr = slot_row[:, 3]
+
+    # packed quad node rows: [c0..3, irr_kid0..3, depth, irr, 0...]
+    kid_irr = jnp.where(
+        q_child >= 0, q_irr[jnp.maximum(q_child, 0)], 0.0
+    ).astype(f32)
+    q_pack = jnp.concatenate(
+        [
+            q_child.astype(f32),
+            kid_irr,
+            q_depth.astype(f32)[:, None],
+            q_irr.astype(f32)[:, None],
+            jnp.zeros((nq_cap, 6), f32),
+        ],
+        axis=-1,
+    )
+
+    # per-leaf-slot geometry rows (p_i = cdf_i - cdf_{i-1} per segment)
+    leaf_p = jnp.concatenate([leaf_cdf[:1], leaf_cdf[1:] - leaf_cdf[:-1]])
+    seg_start = jnp.where(
+        jnp.arange(max_roots) < n_slots, root_leaf_off, nq_cap
+    )
+    leaf_p = leaf_p.at[seg_start].set(
+        leaf_cdf[jnp.minimum(seg_start, nq_cap - 1)], mode="drop"
+    )
+    sizes = jnp.exp2(-leaf_depth.astype(f32))
+    pdf_col = (
+        jnp.maximum(leaf_p, 0.0)
+        * jnp.exp2(2.0 * leaf_depth.astype(f32))
+        * f32(INV_FOUR_PI)
+    )
+    node_col = leaf_node.astype(f32)
+    leaf_geom = jnp.stack(
+        [leaf_lo[:, 0], leaf_lo[:, 1], sizes, pdf_col, node_col], axis=-1
+    )
+
+    # bit-packed variant: [u32(lo_x_q | depth<<20), u32(lo_y_q), pdf, node]
+    lo_q = jnp.round(leaf_lo * f32(1 << 20)).astype(jnp.uint32)
+    d_q = jnp.clip(leaf_depth, 0, 31).astype(jnp.uint32)
+    w0 = jax.lax.bitcast_convert_type(lo_q[:, 0] | (d_q << 20), f32)
+    w1 = jax.lax.bitcast_convert_type(lo_q[:, 1], f32)
+    leaf_geomp = jnp.stack([w0, w1, pdf_col, node_col], axis=-1)
+
+    # per-(slot, cell) interleaved [pdf_enc, node_enc] grid
+    gn = jnp.maximum(grid_node, 0)
+    node_leaf = q_child[gn, 0] < 0
+    pdf_leaf = (
+        q_irr[gn]
+        * jnp.exp2(2.0 * q_depth[gn].astype(f32))
+        * f32(INV_FOUR_PI)
+        / jnp.maximum(root_irr[:, None], 1e-30)
+    )
+    live_row = (jnp.arange(max_roots) < n_slots)[:, None]
+    internal = (~node_leaf) & live_row
+    flat_int = internal.reshape(-1)
+    sub_of_cell = (
+        (jnp.cumsum(flat_int.astype(jnp.int32)) - 1)
+        .reshape(internal.shape)
+        .astype(f32)
+    )
+    g_val = jnp.where(
+        node_leaf, jnp.nan_to_num(pdf_leaf), -(sub_of_cell + 1.0)
+    )
+    g_node = jnp.where(node_leaf, gn.astype(f32), -(sub_of_cell + 1.0))
+    zero = jnp.zeros((), f32)
+    g_val = jnp.where(live_row, g_val, zero)
+    g_node = jnp.where(live_row, g_node, zero)
+    grid_pl = jnp.stack([g_val, g_node], axis=-1).reshape(-1)
+
+    # level-2 subgrids: expand each internal covering node down sub_l
+    # levels, spatial [y][x] layout; quadrant of sub-half (hx, hy):
+    # 0=(1,1) 1=(0,1) 2=(0,0) 3=(1,0)
+    flat_gn = gn.reshape(-1)
+    n_flat = flat_gn.shape[0]
+    idx = jnp.nonzero(flat_int, size=sub_cap, fill_value=n_flat)[0]
+    pad = idx >= n_flat
+    start = jnp.where(pad, 0, flat_gn[jnp.minimum(idx, n_flat - 1)])
+    slot_of_sub = jnp.minimum(idx // cells, max_roots - 1)
+    root_irr_sub = root_irr[slot_of_sub]
+    cur = start[:, None, None]
+    for _ in range(sub_l):
+        isleaf = q_child[cur, 0] < 0
+        kids = q_child[cur]  # (B, r, r, 4)
+        sel = [jnp.where(isleaf, cur, kids[..., q]) for q in range(4)]
+        # T[b, i, s, j, t] = cell (2i+s, 2j+t); (s=hy, t=hx) -> quadrant
+        row0 = jnp.stack([sel[2], sel[3]], axis=-1)  # s=0: q2, q3
+        row1 = jnp.stack([sel[1], sel[0]], axis=-1)  # s=1: q1, q0
+        t = jnp.stack([row0, row1], axis=2)  # (B, r, 2, r, 2)
+        r = cur.shape[1]
+        cur = t.reshape(sub_cap, 2 * r, 2 * r)
+    leaf_s = q_child[cur, 0] < 0
+    pdf_s = (
+        q_irr[cur]
+        * jnp.exp2(2.0 * q_depth[cur].astype(f32))
+        * f32(INV_FOUR_PI)
+        / jnp.maximum(root_irr_sub, 1e-30)[:, None, None]
+    )
+    curf = cur.astype(f32)
+    s_val = jnp.where(leaf_s, jnp.nan_to_num(pdf_s), -(curf + 1.0))
+    s_node = jnp.where(leaf_s, curf, -(curf + 1.0))
+    live_sub = (~pad)[:, None, None]
+    s_val = jnp.where(live_sub, s_val, zero)
+    s_node = jnp.where(live_sub, s_node, zero)
+    sres = 1 << sub_l
+    sub_pl = jnp.stack(
+        [s_val.reshape(sub_cap, sres * sres),
+         s_node.reshape(sub_cap, sres * sres)],
+        axis=-1,
+    ).reshape(-1)
+
+    return dict(
+        q_pack=q_pack, leaf_geom=leaf_geom, leaf_geomp=leaf_geomp,
+        grid_pl=grid_pl, sub_pl=sub_pl,
+    )
+
+
 # ===========================================================================
 # Host-side authoritative tree
 # ===========================================================================
@@ -648,9 +789,16 @@ class SDTree:
             dirs[q] = s / n if n > 0 else 0.0
         return dirs
 
-    def _build_fast2(self, tables):
+    def _build_fast2(self, tables, big: bool = True):
         """Gather-diet tables: per-slot rows, hemisphere table, alias
-        tables, leaf geometry rows, per-cell pdf grid, packed quad rows."""
+        tables, leaf geometry rows, per-cell pdf grid, packed quad rows.
+
+        ``big=False`` skips the five LARGE tables (leaf_geom, leaf_geomp,
+        q_pack, grid_pl, sub_pl — ~550 MB of the ~750 MB mirror on a
+        trained full-res tree) and returns only the small host-built
+        tables plus the counts/tier the device-side deriver
+        (``_derive_device_tables``) needs. The host build of the big
+        tables is kept as the differential-test reference."""
         max_roots = self.slot_capacity
         res = 1 << GRID_L
         cells = res * res
@@ -717,25 +865,8 @@ class SDTree:
         hemi = np.zeros((max_roots, 32), np.float32)
         hemi[:n_slots, :27] = h
 
-        # per-leaf-slot geometry rows + alias tables
+        # alias tables (host Walker build — C++ engine or python fallback)
         nq_cap = self.quad_capacity
-        total_leaves = int(cnt[:n_slots].sum())
-        leaf_p = leaf_cdf.copy()
-        # p_i = cdf_i - cdf_{i-1} within each segment
-        leaf_p[1:] -= leaf_cdf[:-1]
-        if n_slots:
-            leaf_p[off[:n_slots]] = leaf_cdf[off[:n_slots]]
-        leaf_geom = np.zeros((nq_cap, 5), np.float32)
-        sizes = np.exp2(-leaf_depth.astype(np.float32))
-        leaf_geom[:, 0] = leaf_lo[:, 0]
-        leaf_geom[:, 1] = leaf_lo[:, 1]
-        leaf_geom[:, 2] = sizes
-        leaf_geom[:, 3] = (
-            np.maximum(leaf_p, 0.0)
-            * np.exp2(2.0 * leaf_depth.astype(np.float32))
-            * INV_FOUR_PI
-        )
-        leaf_geom[:, 4] = tables["leaf_node"].astype(np.float32)
         from . import native
 
         al = native.build_alias(leaf_cdf, n_slots, off, cnt)
@@ -757,6 +888,59 @@ class SDTree:
         alias_ab[:, 0] = alias_prob
         if n_slots:
             alias_ab[:, 1] = other_glob.astype(np.float32)
+
+        # covering-node leaf/internal masks drive both the pdf grid and the
+        # level-2 subgrid tier — computed here because the DEVICE deriver
+        # needs n_sub/sub_cap even when the big tables stay host-unbuilt
+        gn = grid_node[:n_slots] if n_slots else grid_node[:0]
+        node_leaf = self.q_child[gn, 0] < 0
+        internal = ~node_leaf                       # (S, cells)
+        n_sub = int(internal.sum())
+        sres = 1 << SUB_L
+        # x4 tier growth: same recompile-avoidance rationale as
+        # slot_capacity (each new shape recompiles the bounce program)
+        sub_cap = 2048
+        while sub_cap < max(n_sub, 1):
+            sub_cap *= 4
+
+        gl, gs, bits = self._build_kd_grid(root_slot)
+        kd_grid2 = np.stack([gl, gs], axis=-1).astype(np.int32)
+
+        # per-kd-node extents: axis a halves len(range(a, depth, 3)) times
+        size = np.maximum(self.bbox_hi - self.bbox_lo, 1e-9)
+        d = self.kd_depth.astype(np.int64)
+        kd_ext = np.zeros((self.kd_capacity, 4), np.float32)
+        for a in range(3):
+            halvings = (d - a + 2) // 3
+            halvings = np.maximum(halvings, 0)
+            kd_ext[:, a] = size[a] * np.exp2(-halvings.astype(np.float32))
+
+        out = dict(
+            kd_grid2=kd_grid2, kd_grid_bits=bits,
+            slot_row=slot_row, hemi_tab=hemi,
+            alias_ab=alias_ab, kd_ext=kd_ext,
+            n_slots=n_slots, n_sub=n_sub, sub_cap=sub_cap,
+        )
+        if not big:
+            return out
+
+        # ---- big tables (host reference; production derives on device) ----
+        leaf_p = leaf_cdf.copy()
+        # p_i = cdf_i - cdf_{i-1} within each segment
+        leaf_p[1:] -= leaf_cdf[:-1]
+        if n_slots:
+            leaf_p[off[:n_slots]] = leaf_cdf[off[:n_slots]]
+        leaf_geom = np.zeros((nq_cap, 5), np.float32)
+        sizes = np.exp2(-leaf_depth.astype(np.float32))
+        leaf_geom[:, 0] = leaf_lo[:, 0]
+        leaf_geom[:, 1] = leaf_lo[:, 1]
+        leaf_geom[:, 2] = sizes
+        leaf_geom[:, 3] = (
+            np.maximum(leaf_p, 0.0)
+            * np.exp2(2.0 * leaf_depth.astype(np.float32))
+            * INV_FOUR_PI
+        )
+        leaf_geom[:, 4] = tables["leaf_node"].astype(np.float32)
         lo_q = np.round(leaf_geom[:, 0:2] * (1 << 20)).astype(np.int64)
         assert np.all(np.abs(lo_q * (1.0 / (1 << 20)) - leaf_geom[:, 0:2]) == 0.0), \
             "leaf origins must be exact multiples of 2^-20"
@@ -784,8 +968,6 @@ class SDTree:
         # depth GRID_L+SUB_L so pdf/leaf queries are 2 narrow gathers with
         # the residual descent lax.cond-skipped (leaves deeper than 9 are
         # rare: ajar-trained trees max out at depth 8-9).
-        gn = grid_node[:n_slots] if n_slots else grid_node[:0]
-        node_leaf = self.q_child[gn, 0] < 0
         with np.errstate(invalid="ignore", divide="ignore"):
             pdf_leaf = (
                 self.q_irr[gn]
@@ -793,8 +975,6 @@ class SDTree:
                 * INV_FOUR_PI
                 / np.maximum(root_irr[:, None], 1e-30)
             )
-        internal = ~node_leaf                       # (S, cells)
-        n_sub = int(internal.sum())
         sub_of_cell = np.cumsum(internal.reshape(-1)).reshape(internal.shape)
         sub_of_cell = (sub_of_cell - 1).astype(np.int64)
         # packed [pdf_enc, node_enc] rows; the zero-flux uniform-pdf
@@ -811,12 +991,6 @@ class SDTree:
         # level-2 subgrids: expand each internal covering node (depth
         # exactly GRID_L) down SUB_L levels, spatial [y][x] layout. Child
         # quadrant of sub-half (hx, hy): 0=(1,1) 1=(0,1) 2=(0,0) 3=(1,0).
-        sres = 1 << SUB_L
-        # x4 tier growth: same recompile-avoidance rationale as
-        # slot_capacity (each new shape recompiles the bounce program)
-        sub_cap = 2048
-        while sub_cap < max(n_sub, 1):
-            sub_cap *= 4
         sub_pl = np.zeros((sub_cap, sres * sres, 2), np.float32)
         if n_sub:
             cur = gn[internal].reshape(n_sub, 1, 1)
@@ -846,30 +1020,20 @@ class SDTree:
                 n_sub, -1
             )
 
-        gl, gs, bits = self._build_kd_grid(root_slot)
-        kd_grid2 = np.stack([gl, gs], axis=-1).astype(np.int32)
-
-        # per-kd-node extents: axis a halves len(range(a, depth, 3)) times
-        size = np.maximum(self.bbox_hi - self.bbox_lo, 1e-9)
-        d = self.kd_depth.astype(np.int64)
-        kd_ext = np.zeros((self.kd_capacity, 4), np.float32)
-        for a in range(3):
-            halvings = (d - a + 2) // 3
-            halvings = np.maximum(halvings, 0)
-            kd_ext[:, a] = size[a] * np.exp2(-halvings.astype(np.float32))
-        return dict(
-            kd_grid2=kd_grid2, kd_grid_bits=bits,
-            slot_row=slot_row, hemi_tab=hemi,
-            alias_ab=alias_ab, leaf_geomp=leaf_geomp,
-            leaf_geom=leaf_geom, grid_pl=grid_pl.reshape(-1),
-            sub_pl=sub_pl.reshape(-1),
-            q_pack=q_pack, kd_ext=kd_ext,
+        out.update(
+            leaf_geomp=leaf_geomp, leaf_geom=leaf_geom,
+            grid_pl=grid_pl.reshape(-1), sub_pl=sub_pl.reshape(-1),
+            q_pack=q_pack,
         )
+        return out
 
     def to_device(self) -> SDTreeDevice:
+        import os as _os
+
         size = np.maximum(self.bbox_hi - self.bbox_lo, 1e-9)
         tables = self._build_lookup_tables()
-        fast2 = self._build_fast2(tables)
+        derive = _os.environ.get("PPG_DEVICE_TABLES", "1") != "0"
+        fast2 = self._build_fast2(tables, big=not derive)
         kd_grid2_d = jnp.asarray(fast2["kd_grid2"])
         slot_row_d = jnp.asarray(fast2["slot_row"])
         hemi_d = jnp.asarray(fast2["hemi_tab"])
@@ -883,26 +1047,50 @@ class SDTree:
             [kd_grid2_d.astype(jnp.float32), slot_row_d[gs_safe][:, :6]],
             axis=-1,
         )
+        # upload the structural arrays ONCE; the five big tables are
+        # derived from them on device (see _derive_device_tables)
+        q_child_d = jnp.asarray(self.q_child)
+        q_irr_d = jnp.asarray(self.q_irr.astype(np.float32))
+        q_depth_d = jnp.asarray(self.q_depth)
+        grid_node_d = jnp.asarray(tables["grid_node"])
+        leaf_node_d = jnp.asarray(tables["leaf_node"])
+        leaf_cdf_d = jnp.asarray(tables["leaf_cdf"])
+        leaf_lo_d = jnp.asarray(tables["leaf_lo"])
+        leaf_depth_d = jnp.asarray(tables["leaf_depth"])
+        root_leaf_off_d = jnp.asarray(tables["root_leaf_off"])
+        if derive:
+            big = _derive_device_tables(
+                q_child_d, q_irr_d, q_depth_d, grid_node_d, leaf_cdf_d,
+                leaf_node_d, leaf_lo_d, leaf_depth_d, root_leaf_off_d,
+                slot_row_d, jnp.int32(fast2["n_slots"]),
+                sub_cap=fast2["sub_cap"], sub_l=SUB_L,
+            )
+        else:
+            big = {
+                k: jnp.asarray(fast2[k])
+                for k in ("q_pack", "leaf_geom", "leaf_geomp", "grid_pl",
+                          "sub_pl")
+            }
         return SDTreeDevice(
             kd_axis=jnp.asarray(self.kd_axis),
             kd_split=jnp.asarray(self.kd_split),
             kd_left=jnp.asarray(self.kd_left),
             kd_leaf=jnp.asarray(self.kd_leaf),
             kd_quad_root=jnp.asarray(self.kd_quad_root),
-            q_child=jnp.asarray(self.q_child),
-            q_irr=jnp.asarray(self.q_irr.astype(np.float32)),
-            q_depth_dev=jnp.asarray(self.q_depth),
+            q_child=q_child_d,
+            q_irr=q_irr_d,
+            q_depth_dev=q_depth_d,
             kd_vert_acc=jnp.zeros(self.kd_capacity, jnp.float32),
             q_irr_acc=jnp.zeros(self.quad_capacity, jnp.float32),
             bbox_lo=jnp.asarray(self.bbox_lo, jnp.float32),
             bbox_inv_size=jnp.asarray(1.0 / size, jnp.float32),
             root_slot=jnp.asarray(tables["root_slot"]),
-            grid_node=jnp.asarray(tables["grid_node"]),
-            leaf_node=jnp.asarray(tables["leaf_node"]),
-            leaf_cdf=jnp.asarray(tables["leaf_cdf"]),
-            leaf_lo=jnp.asarray(tables["leaf_lo"]),
-            leaf_depth=jnp.asarray(tables["leaf_depth"]),
-            root_leaf_off=jnp.asarray(tables["root_leaf_off"]),
+            grid_node=grid_node_d,
+            leaf_node=leaf_node_d,
+            leaf_cdf=leaf_cdf_d,
+            leaf_lo=leaf_lo_d,
+            leaf_depth=leaf_depth_d,
+            root_leaf_off=root_leaf_off_d,
             root_leaf_cnt=jnp.asarray(tables["root_leaf_cnt"]),
             kd_grid2=kd_grid2_d,
             slot_row=slot_row_d,
@@ -910,11 +1098,11 @@ class SDTree:
             hemi_flat=hemi_d.reshape(-1),
             kd_grid_f=kd_grid_f,
             alias_ab=jnp.asarray(fast2["alias_ab"]),
-            leaf_geomp=jnp.asarray(fast2["leaf_geomp"]),
-            leaf_geom=jnp.asarray(fast2["leaf_geom"]),
-            grid_pl=jnp.asarray(fast2["grid_pl"]),
-            sub_pl=jnp.asarray(fast2["sub_pl"]),
-            q_pack=jnp.asarray(fast2["q_pack"]),
+            leaf_geomp=big["leaf_geomp"],
+            leaf_geom=big["leaf_geom"],
+            grid_pl=big["grid_pl"],
+            sub_pl=big["sub_pl"],
+            q_pack=big["q_pack"],
             kd_ext=jnp.asarray(fast2["kd_ext"]),
             kd_max_depth=self.kd_max_depth,
             quad_max_depth=self.quad_max_depth,

@@ -478,3 +478,61 @@ def test_masked_tree_gathers_match_unmasked(rng_np):
     np.testing.assert_array_equal(
         np.asarray(sleaf_a)[okn], np.asarray(sleaf_b)[okn]
     )
+
+
+def test_device_derived_tables_match_host_build(rng_np):
+    """The five big device tables (q_pack, leaf_geom, leaf_geomp, grid_pl,
+    sub_pl) are derived ON DEVICE from the structural arrays in
+    production (to_device); the host builder is the reference. Structural
+    encodings must be exact; pdf columns agree to f32 rounding (host
+    computes in f64)."""
+    import jax.numpy as jnp
+    from practical_path_guiding_lab_tpu.guiding import sdtree as sd
+
+    tree = sd.SDTree([0, 0, 0], [1, 1, 1], kd_capacity=1 << 10,
+                     quad_capacity=1 << 14)
+    n = 20000
+    for it in range(4):
+        dev = tree.to_device()
+        p = rng_np.random((n, 3)).astype(np.float32)
+        # half the directions concentrated in a tiny cap so the quadtrees
+        # refine past GRID_L and the level-2 subgrid pool is exercised
+        xy = rng_np.random((n, 2)).astype(np.float32)
+        xy[: n // 2] = 0.37 + 0.004 * xy[: n // 2]
+        val = rng_np.random(n).astype(np.float32) * 10
+        dev = sd.splat(dev, jnp.asarray(p), jnp.asarray(xy),
+                       jnp.asarray(val), jnp.ones(n, jnp.float32))
+        tree.absorb_accumulators(dev)
+        tree.kd_threshold = 3000.0
+        tree.refine()
+
+    tables = tree._build_lookup_tables()
+    host = tree._build_fast2(tables, big=True)
+    assert host["n_sub"] > 0, "test tree too shallow to cover subgrids"
+    der = sd._derive_device_tables(
+        jnp.asarray(tree.q_child),
+        jnp.asarray(tree.q_irr.astype(np.float32)),
+        jnp.asarray(tree.q_depth),
+        jnp.asarray(tables["grid_node"]),
+        jnp.asarray(tables["leaf_cdf"]),
+        jnp.asarray(tables["leaf_node"]),
+        jnp.asarray(tables["leaf_lo"]),
+        jnp.asarray(tables["leaf_depth"]),
+        jnp.asarray(tables["root_leaf_off"]),
+        jnp.asarray(host["slot_row"]),
+        jnp.int32(host["n_slots"]),
+        sub_cap=host["sub_cap"],
+        sub_l=sd.SUB_L,
+    )
+    for k in ("q_pack", "leaf_geom", "grid_pl", "sub_pl"):
+        np.testing.assert_allclose(
+            np.asarray(der[k]), host[k], rtol=3e-6, atol=1e-8, err_msg=k
+        )
+    # bit-packed geometry words must match BITWISE
+    got = np.asarray(der["leaf_geomp"]).view(np.uint32)
+    want = host["leaf_geomp"].view(np.uint32)
+    assert (got[:, :2] == want[:, :2]).all()
+    np.testing.assert_allclose(
+        np.asarray(der["leaf_geomp"][:, 2:]), host["leaf_geomp"][:, 2:],
+        rtol=3e-6, atol=1e-8,
+    )
