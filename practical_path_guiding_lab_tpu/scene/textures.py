@@ -240,11 +240,31 @@ def select_texture(tex_vals, tex_id):
     return out
 
 
-def _srgb_to_linear_jnp(x):
-    """sRGB->linear, elementwise (matches core.spectrum.srgb_to_linear)."""
-    return jnp.where(
-        x <= 0.04045, x / 12.92, ((x + 0.055) / 1.055) ** 2.4
-    )
+# degree-5 fit of t^0.4 (t = (x+0.055)/1.055) minimaxed at the 256
+# discrete u8 byte values — the only inputs the u8 texel path produces.
+# Max abs error of the full x^2.4 curve at those points: 5.3e-5, 40x
+# below half a u8 quantization step (1/510), so it is exact for 8-bit
+# sources while replacing the pow (exp+log transcendentals, 12 calls
+# per lane in the 2x2 unpack) with 5 FMAs.
+_SRGB_P = (0.6205311682, -2.3336295297, 3.5921562755,
+           -3.0213375816, 1.9032723779, 0.2390586593)
+
+
+def _srgb_to_linear_jnp(x, exact: bool = False):
+    """sRGB->linear, elementwise (matches core.spectrum.srgb_to_linear).
+
+    ``exact=False`` (the u8 texel path) uses the polynomial EOTF above;
+    ``exact=True`` keeps the pow form for float/HDR inputs that are not
+    quantized to byte values."""
+    if exact:
+        return jnp.where(
+            x <= 0.04045, x / 12.92, ((x + 0.055) / 1.055) ** 2.4
+        )
+    t = (x + jnp.float32(0.055)) * jnp.float32(1.0 / 1.055)
+    p = jnp.float32(_SRGB_P[0])
+    for c in _SRGB_P[1:]:
+        p = p * t + jnp.float32(c)
+    return jnp.where(x <= 0.04045, x * jnp.float32(1.0 / 12.92), t * t * p)
 
 
 def _unpack_u8_texel(words, lo: int):

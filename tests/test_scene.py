@@ -163,4 +163,23 @@ def test_texture_eval_channel_matches_reference_paths():
         + lin[v1i, u1i] * fu * fv
     )
     got = eval_channel(tex, jnp.full((n,), k, jnp.int32), uv, need_bitmap=True)
-    np.testing.assert_allclose(np.asarray(got), oracle, atol=2e-5)
+    # the u8 path's polynomial sRGB EOTF is within 5.3e-5 of exact at
+    # every byte value (see test_srgb_poly_exact_at_byte_values)
+    np.testing.assert_allclose(np.asarray(got), oracle, atol=1.5e-4)
+
+
+def test_srgb_poly_exact_at_byte_values():
+    """The texture unpack's polynomial sRGB->linear EOTF must match the
+    exact pow form to well under half a u8 quantization step (1/510) at
+    ALL 256 byte values — the only inputs the u8 texel path produces."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from practical_path_guiding_lab_tpu.scene.textures import (
+        _srgb_to_linear_jnp,
+    )
+
+    b = jnp.asarray(np.arange(256, dtype=np.float32) / 255.0)
+    got = np.asarray(_srgb_to_linear_jnp(b))
+    want = np.asarray(_srgb_to_linear_jnp(b, exact=True))
+    assert np.abs(got - want).max() < 1e-4
