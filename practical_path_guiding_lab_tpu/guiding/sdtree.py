@@ -2051,8 +2051,11 @@ def quad_pdf_leaf_fast2(tree: SDTreeDevice, slot, srow, xy, ok=None):
     gidx = jnp.maximum(slot, 0) * (res * res) + cell
     if ok is not None:
         gidx = jnp.where(ok, gidx, 0)
-    v = tree.grid_pl[2 * gidx]
-    g = tree.grid_pl[2 * gidx + 1]
+    # one (R,2) row gather beats even a single 1-D tap on TPU (measured:
+    # 42 vs 50 ms at 1.8M lanes; two taps 75 ms) — reshape is free
+    grow = tree.grid_pl.reshape(-1, 2)[gidx]
+    v = grow[..., 0]
+    g = grow[..., 1]
     done0 = g >= 0
     if ok is not None:
         done0 = done0 | ~ok   # masked lanes never take the residual tail
@@ -2064,8 +2067,9 @@ def quad_pdf_leaf_fast2(tree: SDTreeDevice, slot, srow, xy, ok=None):
     sidx = jnp.where(done0, 0, sidx)
     if ok is not None:
         sidx = jnp.where(ok, sidx, 0)
-    v2 = tree.sub_pl[2 * sidx]
-    g2 = tree.sub_pl[2 * sidx + 1]
+    srow_pl = tree.sub_pl.reshape(-1, 2)[sidx]
+    v2 = srow_pl[..., 0]
+    g2 = srow_pl[..., 1]
     done1 = done0 | (g2 >= 0)
     pdf01 = jnp.where(done0, jnp.maximum(v, 0.0), jnp.maximum(v2, 0.0))
     leaf01 = jnp.where(done0, g, jnp.maximum(g2, 0.0)).astype(jnp.int32)
@@ -2133,6 +2137,9 @@ def quad_leaf_lookup_fast2(tree: SDTreeDevice, slot, xy):
     res = 1 << tree.grid_l
     sres = 1 << tree.sub_l
     cell, subcell = _two_level_cells(tree, xy)
+    # single 1-D taps here, NOT (M,2) row gathers: this runs at splat
+    # scale (up to 2*V ~ 24M lanes) where the padded (M,2) gather output
+    # layout materializes a multi-GB temp (see PERF_NOTES: splat OOM)
     g = tree.grid_pl[2 * (jnp.maximum(slot, 0) * (res * res) + cell) + 1]
     done0 = g >= 0
     sub_cap = tree.sub_pl.shape[0] // (2 * sres * sres)
