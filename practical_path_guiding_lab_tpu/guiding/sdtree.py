@@ -550,6 +550,19 @@ def splat(tree: SDTreeDevice, p, xy, value, weight, nee_xy=None, nee_value=None,
 from functools import partial
 
 
+def _interleave2(v, g):
+    """Interleave two 1-D f32 arrays -> [v0, g0, v1, g1, ...].
+
+    Implemented as two interior-padded 1-D ops + add: the obvious
+    ``stack(axis=-1).reshape(-1)`` materializes an (..., 2)-minor temp
+    whose TPU tile layout pads the last dim 2 -> 128 (64x expansion) —
+    observed as a 16 GB HLO temp / compile OOM deriving sub_pl at kd
+    split C=2000 (131072x256x2). Interior padding stays 1-D throughout."""
+    out_v = jax.lax.pad(v, jnp.zeros((), v.dtype), [(0, 1, 1)])
+    out_g = jax.lax.pad(g, jnp.zeros((), g.dtype), [(1, 0, 1)])
+    return out_v + out_g
+
+
 @partial(jax.jit, static_argnames=("sub_cap", "sub_l"))
 def _derive_device_tables(
     q_child, q_irr, q_depth, grid_node, leaf_cdf, leaf_node, leaf_lo,
@@ -639,7 +652,7 @@ def _derive_device_tables(
     zero = jnp.zeros((), f32)
     g_val = jnp.where(live_row, g_val, zero)
     g_node = jnp.where(live_row, g_node, zero)
-    grid_pl = jnp.stack([g_val, g_node], axis=-1).reshape(-1)
+    grid_pl = _interleave2(g_val.reshape(-1), g_node.reshape(-1))
 
     # level-2 subgrids: expand each internal covering node down sub_l
     # levels, spatial [y][x] layout; quadrant of sub-half (hx, hy):
@@ -675,12 +688,7 @@ def _derive_device_tables(
     live_sub = (~pad)[:, None, None]
     s_val = jnp.where(live_sub, s_val, zero)
     s_node = jnp.where(live_sub, s_node, zero)
-    sres = 1 << sub_l
-    sub_pl = jnp.stack(
-        [s_val.reshape(sub_cap, sres * sres),
-         s_node.reshape(sub_cap, sres * sres)],
-        axis=-1,
-    ).reshape(-1)
+    sub_pl = _interleave2(s_val.reshape(-1), s_node.reshape(-1))
 
     return dict(
         q_pack=q_pack, leaf_geom=leaf_geom, leaf_geomp=leaf_geomp,
