@@ -33,15 +33,19 @@ def _stats(ts):
 
 
 def bench_pt(scene, n_passes=16, spp=1):
-    from practical_path_guiding_lab_tpu.render.path_tracer import render_pass
+    from practical_path_guiding_lab_tpu.render.path_tracer import (
+        render_pass_auto,
+    )
 
-    fn = jax.jit(render_pass, static_argnums=(3, 4))
-    L, _, _, rays = fn(scene, 0, 0, True, spp)
+    L, _, _, rays = render_pass_auto(scene, 0, 0, True, spp)
     rays = float(rays)  # compile + first D2H fetch (defeats laziness)
+    # pass 1 compiles the shrunk cascade program; exclude it from timing
+    L, _, _, _ = render_pass_auto(scene, 0, spp, True, spp)
+    jax.block_until_ready(L)
     ts = []
-    for p in range(1, n_passes + 1):
+    for p in range(2, n_passes + 2):
         t0 = time.perf_counter()
-        L, _, _, r = fn(scene, 0, p * spp, True, spp)
+        L, _, _, r = render_pass_auto(scene, 0, p * spp, True, spp)
         jax.block_until_ready(L)
         ts.append(time.perf_counter() - t0)
     med = float(np.median(ts))

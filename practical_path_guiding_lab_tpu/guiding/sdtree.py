@@ -550,17 +550,33 @@ def splat(tree: SDTreeDevice, p, xy, value, weight, nee_xy=None, nee_value=None,
 from functools import partial
 
 
+_ILV_K = 128
+
+
 def _interleave2(v, g):
     """Interleave two 1-D f32 arrays -> [v0, g0, v1, g1, ...].
 
-    Implemented as two interior-padded 1-D ops + add: the obvious
-    ``stack(axis=-1).reshape(-1)`` materializes an (..., 2)-minor temp
-    whose TPU tile layout pads the last dim 2 -> 128 (64x expansion) —
-    observed as a 16 GB HLO temp / compile OOM deriving sub_pl at kd
-    split C=2000 (131072x256x2). Interior padding stays 1-D throughout."""
-    out_v = jax.lax.pad(v, jnp.zeros((), v.dtype), [(0, 1, 1)])
-    out_g = jax.lax.pad(g, jnp.zeros((), g.dtype), [(1, 0, 1)])
-    return out_v + out_g
+    MXU-native: two one-hot matmuls with even/odd column-spread matrices.
+    The obvious ``stack(axis=-1).reshape(-1)`` materializes an
+    (..., 2)-minor temp whose TPU tile layout pads the last dim 2 -> 128
+    (64x expansion) — observed as a 16 GB HLO temp / compile OOM deriving
+    sub_pl at kd split C=2000 (131072x256x2); a 1-D interior-pad form
+    compiled >10 min at 33.5M elements on the TPU backend (hang). One-hot
+    matmuls at HIGHEST precision are exact (each output is x*1 + 0s; see
+    core.math.small_table_gather) and cost ~1 ms of MXU time here.
+    Lengths must be multiples of _ILV_K (both tables are)."""
+    k = _ILV_K
+    m = v.shape[0] // k
+    assert m * k == v.shape[0], v.shape
+    i = jnp.arange(k)
+    even = jnp.zeros((k, 2 * k), v.dtype).at[i, 2 * i].set(1.0)
+    odd = jnp.zeros((k, 2 * k), v.dtype).at[i, 2 * i + 1].set(1.0)
+    hi = jax.lax.Precision.HIGHEST
+    out = (
+        jnp.matmul(v.reshape(m, k), even, precision=hi)
+        + jnp.matmul(g.reshape(m, k), odd, precision=hi)
+    )
+    return out.reshape(-1)
 
 
 @partial(jax.jit, static_argnames=("sub_cap", "sub_l"))

@@ -335,7 +335,18 @@ def _bounce_body(scene, tree_prev, seed0, pass_index, iteration,
                 value = jnp.where(
                     mask[:, None] if value.ndim > 1 else mask, value, 0.0
                 )
-            return jax.lax.dynamic_update_index_in_dim(arr, value, depth, 0)
+            if value.shape[0] == arr.shape[1]:
+                return jax.lax.dynamic_update_index_in_dim(
+                    arr, value, depth, 0
+                )
+            # cascade-shrunk wavefront: partial row write at column 0; the
+            # untouched tail keeps lane=-1 (PathRecords.zeros), so the
+            # splat's record mask drops it
+            return jax.lax.dynamic_update_slice(
+                arr,
+                value[None].astype(arr.dtype),
+                (depth,) + (0,) * (arr.ndim - 1),
+            )
 
         nee_rad_rec = Lr_dir / jnp.maximum(tp, 1e-20)
         updates = dict(
@@ -429,25 +440,44 @@ _bounce_step = jax.jit(_bounce_body, static_argnames=("bsdf_fraction",))
 
 def render_guided_wavefront(
     scene, tree_prev, seed0, pass_index, lane_ids, px, py, iteration,
-    record: bool, bsdf_fraction: float = 0.5,
+    record: bool, bsdf_fraction: float = 0.5, schedule=None,
 ):
-    """Single-jit guided wavefront (lax.while_loop) — CPU / shard_map path."""
+    """Single-jit guided wavefront (lax.while_loop) — CPU / shard_map path.
+
+    ``schedule`` (STATIC): None = full width, (L, rays, recs) return; a
+    cascade schedule / the empty probe tuple adds (counts, overflow) —
+    see path_tracer.run_cascade. Records stay full-width (their rows carry
+    explicit lane ids; shrunk bounces write partial rows)."""
     state = _init_state(scene, px, py, lane_ids, record)
     max_depth = scene.max_depth
-
-    def cond(s):
-        return (s["depth"] < max_depth) & (s["n_live"] > 0)
+    n = px.shape[0]
 
     def body(s):
         return _bounce_body(
             scene, tree_prev, seed0, pass_index, iteration, bsdf_fraction, s
         )
 
-    final = jax.lax.while_loop(cond, body, state)
-    n = px.shape[0]
-    idx = final["lane"] - lane_ids[0]
-    L = nan_to_zero(jnp.zeros((n, 3)).at[idx].set(final["L"]))
-    return L, final["rays_cast"], (final["recs"] if record else None)
+    if schedule is None:
+        def cond(s):
+            return (s["depth"] < max_depth) & (s["n_live"] > 0)
+
+        final = jax.lax.while_loop(cond, body, state)
+        idx = final["lane"] - lane_ids[0]
+        L = nan_to_zero(jnp.zeros((n, 3)).at[idx].set(final["L"]))
+        return L, final["rays_cast"], (final["recs"] if record else None)
+
+    from .path_tracer import run_cascade
+
+    film = jnp.zeros((n, 3))
+    sched = tuple(schedule) if schedule else ((max_depth, n),)
+    final, film, counts, overflow = run_cascade(
+        state, film, sched, body, max_depth, lane_ids[0]
+    )
+    film = nan_to_zero(film.at[final["lane"] - lane_ids[0]].add(final["L"]))
+    return (
+        film, final["rays_cast"], (final["recs"] if record else None),
+        counts, overflow,
+    )
 
 
 _init_jit = jax.jit(_init_state, static_argnames=("record",))
@@ -662,14 +692,19 @@ def render_guided_pass_stepped(
 
 def guided_wavefront_pass(
     scene, tree_prev, seed0, pass_index, iteration, record: bool,
-    bsdf_fraction: float = 0.5, spp: int = 1,
+    bsdf_fraction: float = 0.5, spp: int = 1, schedule=None,
 ):
     """Film sampling + fused while_loop wavefront, WITHOUT the splat —
     keeping the two halves in separate executables roughly halves XLA
-    compile time on slow remote-compile backends."""
+    compile time on slow remote-compile backends. ``schedule`` non-None
+    adds (counts, overflow) outputs (cascade; see render_wavefront)."""
     lane_ids, px, py = _film_samples(scene, seed0, pass_index, spp)
-    L, rays, recs = render_guided_wavefront(
+    out = render_guided_wavefront(
         scene, tree_prev, seed0, pass_index, lane_ids, px, py, iteration,
-        record=record, bsdf_fraction=bsdf_fraction,
+        record=record, bsdf_fraction=bsdf_fraction, schedule=schedule,
     )
-    return L, px, py, rays, recs
+    if schedule is None:
+        L, rays, recs = out
+        return L, px, py, rays, recs
+    L, rays, recs, counts, overflow = out
+    return L, px, py, rays, recs, counts, overflow

@@ -41,8 +41,8 @@ from .guided import (
     guided_wavefront_pass,
     render_guided_pass_stepped,
 )
+from . import path_tracer as pt_mod
 from .path_tracer import _film_prologue
-from .path_tracer import render_pass as pt_render_pass
 from .path_tracer import render_wavefront_stepped
 
 
@@ -85,7 +85,7 @@ class PathGuidingIntegrator:
         self._stepped = _stepped_backend()
         self._jit_wave = jax.jit(
             partial(guided_wavefront_pass, bsdf_fraction=bsdf_sampling_fraction),
-            static_argnames=("record", "spp"),
+            static_argnames=("record", "spp", "schedule"),
         )
 
     def set_mesh(self, mesh):
@@ -175,11 +175,35 @@ class PathGuidingIntegrator:
             )
             self.dev_tree = dev
         else:
-            L, px, py, rays, recs = self._jit_wave(
-                self.scene, self.dev_tree, seed0, cumm_spp, self.iteration,
-                record=not self.is_final, spp=spp,
-            )
-            if not self.is_final:
+            record = not self.is_final
+            if pt_mod.cascade_enabled():
+                n_total = (
+                    self.scene.camera.width * self.scene.camera.height * spp
+                )
+                key = (
+                    id(self.scene), n_total, "guided", record,
+                    self.iteration > 1,
+                )
+                sched = pt_mod.plan_for(key, n_total, self.scene.max_depth)
+                L, px, py, rays, recs, counts, ovf = self._jit_wave(
+                    self.scene, self.dev_tree, seed0, cumm_spp,
+                    self.iteration, record=record, spp=spp, schedule=sched,
+                )
+                pt_mod.plan_update(key, counts)
+                if sched and bool(ovf):
+                    # live lanes dropped (rare): truncated transport —
+                    # discard and re-run this pass at full width
+                    L, px, py, rays, recs, counts, _ = self._jit_wave(
+                        self.scene, self.dev_tree, seed0, cumm_spp,
+                        self.iteration, record=record, spp=spp, schedule=(),
+                    )
+                    pt_mod.plan_update(key, counts)
+            else:
+                L, px, py, rays, recs = self._jit_wave(
+                    self.scene, self.dev_tree, seed0, cumm_spp,
+                    self.iteration, record=record, spp=spp,
+                )
+            if record:
                 self.dev_tree = _splat_jit(self.dev_tree, recs, L, seed0, cumm_spp)
         self.sum_l, self.sum_l2 = var_mod.accumulate_moments_aligned(
             self.sum_l, self.sum_l2, L
@@ -268,9 +292,6 @@ class PathTracingIntegrator:
         self.sum_l = jnp.zeros((n, 3))
         self.sum_l2 = jnp.zeros((n, 3))
         self._stepped = _stepped_backend()
-        self._jit_pass = jax.jit(
-            pt_render_pass, static_argnames=("jitter", "spp")
-        )
 
     def resetVarianceCounter(self):
         self.sum_l = jnp.zeros_like(self.sum_l)
@@ -293,7 +314,7 @@ class PathTracingIntegrator:
                 self.scene, seed0, pass_index, lane_ids, px, py
             )
         else:
-            L, px, py, rays = self._jit_pass(
+            L, px, py, rays = pt_mod.render_pass_auto(
                 self.scene, seed0, pass_index, spp=spp
             )
         self.sum_l, self.sum_l2 = var_mod.accumulate_moments_aligned(

@@ -22,60 +22,75 @@ from ..scene import emitters as em_mod
 from ..scene.camera import generate_rays
 
 
+def _pack_state(s, keys3, keys1):
+    """Pack all (N,3)/(N,) state columns into ONE (N, C) f32 matrix so a
+    permutation costs a single row gather: separate per-array gathers cost
+    ~4-5 ms EACH on TPU at 1M lanes (tools/profile_gather_shapes.py)."""
+    cols = []
+    for k in keys3:
+        v = s[k]
+        cols += [v[:, 0], v[:, 1], v[:, 2]]
+    for k in keys1:
+        v = s[k]
+        if v.dtype == jnp.bool_:
+            cols.append(v.astype(jnp.float32))
+        elif v.dtype in (jnp.int32, jnp.uint32):
+            # bitcast, not value-cast: exact for any 32-bit payload
+            cols.append(jax.lax.bitcast_convert_type(v, jnp.float32))
+        else:
+            cols.append(v)
+    return jnp.stack(cols, axis=-1)  # (N, C)
+
+
+def _unpack_state(s, g, keys3, keys1):
+    """Inverse of _pack_state into a copy of state dict ``s`` (row count
+    may differ from s's — wavefront shrink)."""
+    s = dict(s)
+    i = 0
+    for k in keys3:
+        s[k] = g[:, i:i + 3]
+        i += 3
+    for k in keys1:
+        v = s[k]
+        col = g[:, i]
+        i += 1
+        if v.dtype == jnp.bool_:
+            s[k] = col != 0.0
+        elif v.dtype in (jnp.int32, jnp.uint32):
+            s[k] = jax.lax.bitcast_convert_type(col, v.dtype)
+        else:
+            s[k] = col
+    return s
+
+
+def _live_first_permutation(alive):
+    """Stable live-first permutation: gather_idx[j] = old row of new row
+    j. Returns (gather_idx, n_live)."""
+    n = alive.shape[0]
+    n_live = jnp.sum(alive.astype(jnp.int32))
+    live_rank = jnp.cumsum(alive.astype(jnp.int32)) - 1
+    dead_rank = n_live + jnp.cumsum((~alive).astype(jnp.int32)) - 1
+    new_pos = jnp.where(alive, live_rank, dead_rank)
+    gather_idx = jnp.zeros(n, jnp.int32).at[new_pos].set(
+        jnp.arange(n, dtype=jnp.int32)
+    )
+    return gather_idx, n_live
+
+
 def compact_wavefront(s, keys3, keys1):
     """Stable-partition live lanes to the front of the wavefront so the
     intersection kernels can skip whole dead blocks (n_live watermark).
 
     It only runs when the live set has at least halved since the last
     compaction (lanes only ever die, so the old watermark stays valid when
-    we skip). keys3/keys1: state keys holding (N,3) / (N,) arrays.
-
-    All state columns are packed into ONE (N, C) f32 matrix and permuted
-    with a single row gather: separate per-array gathers cost ~4-5 ms
-    EACH on TPU at 1M lanes (the old form was ~69 ms per firing, ~23% of
-    a whole pass; the packed form is ~one gather, tools/
-    profile_gather_shapes.py entries f vs g)."""
+    we skip). keys3/keys1: state keys holding (N,3) / (N,) arrays."""
     alive = s["active"]
-    n = alive.shape[0]
     n_live = jnp.sum(alive.astype(jnp.int32))
 
     def do_compact(s):
-        s = dict(s)
-        live_rank = jnp.cumsum(alive.astype(jnp.int32)) - 1
-        dead_rank = n_live + jnp.cumsum((~alive).astype(jnp.int32)) - 1
-        new_pos = jnp.where(alive, live_rank, dead_rank)
-        gather_idx = jnp.zeros(n, jnp.int32).at[new_pos].set(
-            jnp.arange(n, dtype=jnp.int32)
-        )
-        cols = []
-        for k in keys3:
-            v = s[k]
-            cols += [v[:, 0], v[:, 1], v[:, 2]]
-        for k in keys1:
-            v = s[k]
-            if v.dtype == jnp.bool_:
-                cols.append(v.astype(jnp.float32))
-            elif v.dtype in (jnp.int32, jnp.uint32):
-                # bitcast, not value-cast: exact for any 32-bit payload
-                cols.append(jax.lax.bitcast_convert_type(v, jnp.float32))
-            else:
-                cols.append(v)
-        packed = jnp.stack(cols, axis=-1)  # (N, C)
-        g = packed[gather_idx]             # THE one row gather
-        i = 0
-        for k in keys3:
-            s[k] = g[:, i:i + 3]
-            i += 3
-        for k in keys1:
-            v = s[k]
-            col = g[:, i]
-            i += 1
-            if v.dtype == jnp.bool_:
-                s[k] = col != 0.0
-            elif v.dtype in (jnp.int32, jnp.uint32):
-                s[k] = jax.lax.bitcast_convert_type(col, v.dtype)
-            else:
-                s[k] = col
+        gather_idx, n_live = _live_first_permutation(alive)
+        g = _pack_state(s, keys3, keys1)[gather_idx]  # THE one row gather
+        s = _unpack_state(s, g, keys3, keys1)
         s["n_live"] = n_live
         return s
 
@@ -87,6 +102,70 @@ def compact_wavefront(s, keys3, keys1):
 
 _PT_KEYS3 = ("o", "d", "throughput", "L")
 _PT_KEYS1 = ("eta_scale", "active", "prev_pdf", "prev_delta", "lane")
+
+
+def _shrink_state(s, film, new_w, lane0, keys3, keys1):
+    """Cut the wavefront's STATIC width to ``new_w`` rows (live-first
+    permutation + slice), banking the radiance of dropped (dead) lanes
+    into the film-order accumulator ``film`` ((N_total, 3)).
+
+    Lanes only ever die, so a shrink sized from an earlier bounce's live
+    count is safe; ``overflow`` reports the (rare) case where live lanes
+    were dropped — the caller must discard the pass (truncated transport)
+    and re-run at full width. Every XLA op in a bounce runs at the
+    wavefront's STATIC width no matter how few lanes are live (masking
+    prunes HBM reads, not instruction issue), so shrinking the width is
+    the only way to stop paying full-width gather/shading cost for the
+    ~0%-live post-RR bounces (measured veach-ajar: live crashes from 90%
+    to 3% at the RR depth — depths 9+ did full-width work for nothing)."""
+    alive = s["active"]
+    gather_idx, n_live = _live_first_permutation(alive)
+    overflow = n_live > new_w
+    g = _pack_state(s, keys3, keys1)[gather_idx[:new_w]]
+    s2 = _unpack_state(s, g, keys3, keys1)
+    s2["n_live"] = jnp.minimum(n_live, jnp.int32(new_w))
+    # dropped rows are dead lanes (absent overflow): bank their radiance
+    drop = gather_idx[new_w:]
+    film = film.at[s["lane"][drop] - lane0].add(s["L"][drop])
+    return s2, film, overflow
+
+
+def run_cascade(state, film, schedule, body_fn, max_depth, lane0):
+    """Run the bounce loop as static-width segments: ``schedule`` is a
+    tuple of (end_depth, width) with non-increasing widths; each segment
+    is its own lax.while_loop (traced once) with a _shrink_state between
+    segments — all inside ONE jit, no mid-pass host syncs. Returns
+    (state, film, counts, overflow); counts[d] = true live-lane count
+    after bounce d, the input for planning the NEXT pass's schedule
+    (static shapes mean the schedule must be decided host-side, from the
+    previous pass of the same shape — live counts are tight across passes
+    and the overflow flag catches the tail)."""
+    counts = jnp.zeros((max_depth,), jnp.int32)
+    overflow = jnp.zeros((), bool)
+    width = state["lane"].shape[0]
+    keys3, keys1 = list(_PT_KEYS3), list(_PT_KEYS1)
+    for end_d, w in schedule:
+        if w < width:
+            state, film, ovf = _shrink_state(
+                state, film, w, lane0, keys3, keys1
+            )
+            overflow = overflow | ovf
+            width = w
+
+        def cond(c, end_d=end_d):
+            s, _ = c
+            return (s["depth"] < end_d) & (s["n_live"] > 0)
+
+        def body(c):
+            s, cnt = c
+            s2 = body_fn(s)
+            cnt = cnt.at[s2["depth"] - 1].set(
+                jnp.sum(s2["active"].astype(jnp.int32))
+            )
+            return (s2, cnt)
+
+        state, counts = jax.lax.while_loop(cond, body, (state, counts))
+    return state, film, counts, overflow
 
 
 def rr_mode() -> str:
@@ -261,27 +340,42 @@ def _bounce_body(scene, seed0, pass_index, s):
 _bounce_step = jax.jit(_bounce_body)
 
 
-def render_wavefront(scene, seed0, pass_index, lane_ids, px, py):
+def render_wavefront(scene, seed0, pass_index, lane_ids, px, py,
+                     schedule=None):
     """Trace one wavefront of camera samples; returns radiance (N,3).
 
     Single fused jit (lax.while_loop over bounces) — used on CPU and inside
     shard_map.
-    """
-    state = _init_state(scene, px, py, lane_ids)
 
-    def cond(s):
-        return (s["depth"] < scene.max_depth) & (s["n_live"] > 0)
+    ``schedule`` (STATIC): None = full width, plain (L, rays) return.
+    A tuple of (end_depth, width) segments = wavefront-shrink cascade
+    (see run_cascade); the empty tuple = full width but with live-count
+    bookkeeping (the probe that seeds a plan). Both return
+    (L, rays, counts, overflow)."""
+    state = _init_state(scene, px, py, lane_ids)
+    n = px.shape[0]
 
     def body(s):
         return _bounce_body(scene, seed0, pass_index, s)
 
-    final = jax.lax.while_loop(cond, body, state)
-    # un-permute the compacted lanes back to film order (lane ids are
-    # GLOBAL; subtract the shard-local base so this works under shard_map)
-    n = px.shape[0]
-    idx = final["lane"] - lane_ids[0]
-    L = jnp.zeros((n, 3)).at[idx].set(final["L"])
-    return nan_to_zero(L), final["rays_cast"]
+    if schedule is None:
+        def cond(s):
+            return (s["depth"] < scene.max_depth) & (s["n_live"] > 0)
+
+        final = jax.lax.while_loop(cond, body, state)
+        # un-permute the compacted lanes back to film order (lane ids are
+        # GLOBAL; subtract the shard-local base for shard_map)
+        idx = final["lane"] - lane_ids[0]
+        L = jnp.zeros((n, 3)).at[idx].set(final["L"])
+        return nan_to_zero(L), final["rays_cast"]
+
+    film = jnp.zeros((n, 3))
+    sched = tuple(schedule) if schedule else ((scene.max_depth, n),)
+    final, film, counts, overflow = run_cascade(
+        state, film, sched, body, scene.max_depth, lane_ids[0]
+    )
+    film = film.at[final["lane"] - lane_ids[0]].add(final["L"])
+    return nan_to_zero(film), final["rays_cast"], counts, overflow
 
 
 _init_jit = None
@@ -308,13 +402,15 @@ def render_wavefront_stepped(scene, seed0, pass_index, lane_ids, px, py):
     return nan_to_zero(L), state["rays_cast"]
 
 
-def render_pass(scene, seed0, pass_index, jitter=True, spp=1):
+def render_pass(scene, seed0, pass_index, jitter=True, spp=1, schedule=None):
     """Render one pass over the full film; returns per-sample radiance
     ((H*W*spp, 3)) plus film coordinates. The reference renders training
     iterations 1 spp per pass (main.py:192) and the final iteration in
     4-spp batches (main.py:123); ``spp`` > 1 traces all samples in ONE
     wavefront dispatch, amortizing the fixed per-dispatch cost over a
-    larger in-flight ray count."""
+    larger in-flight ray count. ``schedule`` (static): see
+    render_wavefront — non-None returns two extra outputs
+    (counts, overflow)."""
     w, h = scene.camera.width, scene.camera.height
     n = w * h
     yy, xx = jnp.meshgrid(
@@ -333,8 +429,113 @@ def render_pass(scene, seed0, pass_index, jitter=True, spp=1):
     else:
         px = px + 0.5
         py = py + 0.5
-    L, rays_cast = render_wavefront(scene, seed0, pass_index, lane_ids, px, py)
-    return L, px, py, rays_cast
+    out = render_wavefront(
+        scene, seed0, pass_index, lane_ids, px, py, schedule=schedule
+    )
+    if schedule is None:
+        L, rays_cast = out
+        return L, px, py, rays_cast
+    L, rays_cast, counts, overflow = out
+    return L, px, py, rays_cast, counts, overflow
+
+
+# --------------------------------------------------------------------- #
+# Cascade planning: live-count plans are kept host-side per (scene, width,
+# workload-kind) key; a pass's schedule is derived from the running MAX of
+# observed counts (counts are tight across passes — camera samples are
+# i.i.d. — and the overflow flag + full-width re-run covers the tail).
+# --------------------------------------------------------------------- #
+
+_PLAN_COUNTS: dict = {}
+
+
+def cascade_enabled() -> bool:
+    """Wavefront-shrink cascade (default on); PPG_CASCADE=0 disables."""
+    import os
+
+    return os.environ.get("PPG_CASCADE", "1") != "0"
+
+
+def _next_pow2(x: int) -> int:
+    return 1 << max(int(x) - 1, 0).bit_length()
+
+
+def plan_schedule(counts, n_total: int, max_depth: int,
+                  min_width: int = 16384, slack: float = 1.35):
+    """Build a static (end_depth, width) schedule from per-depth live
+    counts. A shrink before bounce d must hold every lane live after
+    bounce d-1; tiers are pow2 with ``slack`` headroom and only inserted
+    when they at least halve the width. Returns None when no shrink pays
+    (then the plain full-width pass is the right program)."""
+    import numpy as np
+
+    counts = np.asarray(counts)
+    segs = []
+    width = n_total
+    for d in range(1, max_depth):
+        need = int(counts[d - 1] * slack) + 256
+        tier = max(min_width, _next_pow2(need))
+        if tier <= width // 2:
+            segs.append((d, width))
+            width = tier
+    segs.append((max_depth, width))
+    if len(segs) == 1:
+        return None
+    return tuple(segs)
+
+
+def plan_for(key, n_total: int, max_depth: int):
+    """Schedule for this pass: () (full-width probe) on first sight of
+    ``key``, a shrink schedule afterwards."""
+    counts = _PLAN_COUNTS.get(key)
+    if counts is None:
+        return ()
+    return plan_schedule(counts, n_total, max_depth) or ()
+
+
+def plan_update(key, counts) -> None:
+    import numpy as np
+
+    c = np.asarray(counts)
+    prev = _PLAN_COUNTS.get(key)
+    _PLAN_COUNTS[key] = c if prev is None else np.maximum(prev, c)
+
+
+_pass_jit = None
+
+
+def render_pass_auto(scene, seed0, pass_index, jitter=True, spp=1):
+    """Driver-facing render_pass with automatic cascade planning: probes
+    live counts on the first pass of a shape, shrinks on later passes,
+    and transparently re-runs at full width on (rare) overflow."""
+    global _pass_jit
+    if not cascade_enabled():
+        if _pass_jit is None:
+            _pass_jit = jax.jit(
+                render_pass, static_argnames=("jitter", "spp", "schedule")
+            )
+        return _pass_jit(scene, seed0, pass_index, jitter=jitter, spp=spp)
+    import numpy as np
+
+    if _pass_jit is None:
+        _pass_jit = jax.jit(
+            render_pass, static_argnames=("jitter", "spp", "schedule")
+        )
+    n_total = scene.camera.width * scene.camera.height * spp
+    key = (id(scene), n_total, "pt")
+    sched = plan_for(key, n_total, scene.max_depth)
+    L, px, py, rays, counts, ovf = _pass_jit(
+        scene, seed0, pass_index, jitter=jitter, spp=spp, schedule=sched
+    )
+    plan_update(key, counts)
+    if sched and bool(ovf):
+        # a live lane was dropped: the cascade result is truncated
+        # transport — discard and re-run this pass at full width
+        L, px, py, rays, counts, _ = _pass_jit(
+            scene, seed0, pass_index, jitter=jitter, spp=spp, schedule=()
+        )
+        plan_update(key, counts)
+    return L, px, py, rays
 
 
 _film_prologue_jit = None

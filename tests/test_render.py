@@ -143,3 +143,110 @@ def test_multispp_dispatch_matches_sequential_passes():
         np.testing.assert_array_equal(
             np.asarray(px3[sub * n:(sub + 1) * n]), np.asarray(px1)
         )
+
+
+def test_cascade_matches_full_width(cornell_small):
+    """Wavefront-shrink cascade: segmented shrinking dispatch must be
+    radiance-identical to the full-width while_loop (lanes are keyed by
+    original ids; dropped dead lanes' L is banked into the film)."""
+    s = cornell_small
+    n = 64 * 64
+    L_full, _, _, rays_full = render_pass(s, 3, 1)
+    # probe (full width + bookkeeping) must also match
+    Lp, _, _, rp, counts, ovf = render_pass(s, 3, 1, schedule=())
+    assert not bool(ovf)
+    np.testing.assert_array_equal(np.asarray(L_full), np.asarray(Lp))
+    counts = np.asarray(counts)
+    from practical_path_guiding_lab_tpu.render.path_tracer import (
+        plan_schedule,
+    )
+    sched = plan_schedule(counts, n, s.max_depth, min_width=256, slack=1.3)
+    assert sched is not None and sched[0][1] == n  # shrinks exist here
+    Lc, _, _, rc, counts2, ovf2 = render_pass(s, 3, 1, schedule=sched)
+    assert not bool(ovf2)
+    assert float(rc) == float(rays_full)
+    np.testing.assert_allclose(
+        np.asarray(Lc), np.asarray(L_full), rtol=0, atol=0
+    )
+
+
+def test_cascade_overflow_flag(cornell_small):
+    """A schedule too tight for the live set must raise the overflow flag
+    (the auto planner then discards and re-runs at full width)."""
+    s = cornell_small
+    n = 64 * 64
+    # shrink to 256 lanes right after bounce 1 — cornell keeps ~90%+ alive
+    sched = ((1, n), (s.max_depth, 256))
+    _, _, _, _, _, ovf = render_pass(s, 3, 1, schedule=sched)
+    assert bool(ovf)
+
+
+def test_cascade_auto_wrapper(cornell_small):
+    """render_pass_auto: first call probes, second call runs the shrunk
+    schedule; both must equal the plain pass radiance."""
+    from practical_path_guiding_lab_tpu.render import path_tracer as pt
+
+    s = cornell_small
+    L_ref, _, _, _ = render_pass(s, 5, 2)
+    pt._PLAN_COUNTS.clear()
+    L1, _, _, _ = pt.render_pass_auto(s, 5, 2)
+    L2, _, _, _ = pt.render_pass_auto(s, 5, 2)
+    np.testing.assert_array_equal(np.asarray(L1), np.asarray(L_ref))
+    np.testing.assert_array_equal(np.asarray(L2), np.asarray(L_ref))
+
+
+def test_cascade_guided_matches(cornell_small):
+    """Guided wavefront cascade: radiance AND record streams must be
+    identical to the full-width pass (records carry explicit lane ids;
+    shrunk bounces write partial rows, tail keeps lane=-1)."""
+    import jax
+    from practical_path_guiding_lab_tpu.guiding.sdtree import SDTree
+    from practical_path_guiding_lab_tpu.render.guided import (
+        guided_wavefront_pass,
+    )
+
+    s = cornell_small
+    n = 64 * 64
+    tree = SDTree(
+        np.array([-2.0, -2.0, -2.0]), np.array([2.0, 2.0, 2.0]),
+        kd_capacity=1 << 8, quad_capacity=1 << 12,
+    )
+    dev = tree.to_device()
+    fn = jax.jit(
+        guided_wavefront_pass, static_argnames=("record", "spp", "schedule")
+    )
+    L0, _, _, r0, recs0, counts, ovf = fn(
+        s, dev, 0, 0, 2, record=True, schedule=()
+    )
+    assert not bool(ovf)
+    from practical_path_guiding_lab_tpu.render.path_tracer import (
+        plan_schedule,
+    )
+    sched = plan_schedule(
+        np.asarray(counts), n, s.max_depth, min_width=256, slack=1.3
+    )
+    assert sched is not None
+    L1, _, _, r1, recs1, _, ovf1 = fn(
+        s, dev, 0, 0, 2, record=True, schedule=sched
+    )
+    assert not bool(ovf1)
+    np.testing.assert_array_equal(np.asarray(L0), np.asarray(L1))
+    assert float(r0) == float(r1)
+    # record streams: same multiset of records — compare after sorting
+    # rows by (depth-major row, lane id)
+    a0 = np.asarray(recs0.lane)
+    a1 = np.asarray(recs1.lane)
+    d = a0.shape[0]
+    for dep in range(d):
+        set0 = set(a0[dep][a0[dep] >= 0].tolist())
+        set1 = set(a1[dep][a1[dep] >= 0].tolist())
+        assert set0 == set1, f"depth {dep} record lanes differ"
+    # and the splat values agree record-by-record (match rows via lane id)
+    v0 = np.asarray(recs0.splat_b)
+    v1 = np.asarray(recs1.splat_b)
+    for dep in range(d):
+        m0 = {int(l): v0[dep, i] for i, l in enumerate(a0[dep]) if l >= 0}
+        m1 = {int(l): v1[dep, i] for i, l in enumerate(a1[dep]) if l >= 0}
+        assert m0.keys() == m1.keys()
+        for k in m0:
+            np.testing.assert_array_equal(m0[k], m1[k])
