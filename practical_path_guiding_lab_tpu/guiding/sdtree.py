@@ -2075,11 +2075,13 @@ def quad_pdf_leaf_fast2(tree: SDTreeDevice, slot, srow, xy, ok=None):
     gidx = jnp.maximum(slot, 0) * (res * res) + cell
     if ok is not None:
         gidx = jnp.where(ok, gidx, 0)
-    # one (R,2) row gather beats even a single 1-D tap on TPU (measured:
-    # 42 vs 50 ms at 1.8M lanes; two taps 75 ms) — reshape is free
-    grow = tree.grid_pl.reshape(-1, 2)[gidx]
-    v = grow[..., 0]
-    g = grow[..., 1]
+    # two 1-D taps, NOT an (M,2) row gather: the row form is faster per
+    # gather (42 vs 75 ms at 1.8M lanes) but the (M,2)-minor gather
+    # OPERAND gets a T(8,128) tile layout padded 64x — a 16 GB HLO temp /
+    # compile OOM once the trained tree's sub pool reaches 33.5M pairs
+    # (kd split C=2000). Interleaved taps keep both reads on one line.
+    v = tree.grid_pl[2 * gidx]
+    g = tree.grid_pl[2 * gidx + 1]
     done0 = g >= 0
     if ok is not None:
         done0 = done0 | ~ok   # masked lanes never take the residual tail
@@ -2091,9 +2093,8 @@ def quad_pdf_leaf_fast2(tree: SDTreeDevice, slot, srow, xy, ok=None):
     sidx = jnp.where(done0, 0, sidx)
     if ok is not None:
         sidx = jnp.where(ok, sidx, 0)
-    srow_pl = tree.sub_pl.reshape(-1, 2)[sidx]
-    v2 = srow_pl[..., 0]
-    g2 = srow_pl[..., 1]
+    v2 = tree.sub_pl[2 * sidx]
+    g2 = tree.sub_pl[2 * sidx + 1]
     done1 = done0 | (g2 >= 0)
     pdf01 = jnp.where(done0, jnp.maximum(v, 0.0), jnp.maximum(v2, 0.0))
     leaf01 = jnp.where(done0, g, jnp.maximum(g2, 0.0)).astype(jnp.int32)
