@@ -2059,6 +2059,24 @@ def _two_level_cells(tree: SDTreeDevice, xy):
     return cy * res + cx, sy * sres + sx
 
 
+# TPU pads the minor dim of an (M,2) gather operand 2 -> 128 (T(8,128)
+# tiling): the relayout temp is rows * 512 B. Row gathers beat two 1-D
+# taps (42 vs 75 ms per pair at 1.8M lanes) so use them while the padded
+# operand is affordable; past the budget fall back to interleaved taps —
+# at kd C=2000 the sub pool reaches 33.5M pairs = a 16 GB temp (compile
+# OOM), and the default-C full-res tree reaches 8.4M grid pairs (4.3 GB).
+_PAIR_ROW_PAD_BUDGET = 1536 * 1024 * 1024
+
+
+def _pair_taps(table, idx):
+    """Fetch the [v, g] pair at row ``idx`` of an interleaved flat table."""
+    rows = table.shape[0] // 2
+    if rows * 512 <= _PAIR_ROW_PAD_BUDGET:
+        r = table.reshape(-1, 2)[idx]
+        return r[..., 0], r[..., 1]
+    return table[2 * idx], table[2 * idx + 1]
+
+
 def quad_pdf_leaf_fast2(tree: SDTreeDevice, slot, srow, xy, ok=None):
     """Two-level-grid pdf + point location in ONE packed-row gather chain.
 
@@ -2075,13 +2093,7 @@ def quad_pdf_leaf_fast2(tree: SDTreeDevice, slot, srow, xy, ok=None):
     gidx = jnp.maximum(slot, 0) * (res * res) + cell
     if ok is not None:
         gidx = jnp.where(ok, gidx, 0)
-    # two 1-D taps, NOT an (M,2) row gather: the row form is faster per
-    # gather (42 vs 75 ms at 1.8M lanes) but the (M,2)-minor gather
-    # OPERAND gets a T(8,128) tile layout padded 64x — a 16 GB HLO temp /
-    # compile OOM once the trained tree's sub pool reaches 33.5M pairs
-    # (kd split C=2000). Interleaved taps keep both reads on one line.
-    v = tree.grid_pl[2 * gidx]
-    g = tree.grid_pl[2 * gidx + 1]
+    v, g = _pair_taps(tree.grid_pl, gidx)
     done0 = g >= 0
     if ok is not None:
         done0 = done0 | ~ok   # masked lanes never take the residual tail
@@ -2093,8 +2105,7 @@ def quad_pdf_leaf_fast2(tree: SDTreeDevice, slot, srow, xy, ok=None):
     sidx = jnp.where(done0, 0, sidx)
     if ok is not None:
         sidx = jnp.where(ok, sidx, 0)
-    v2 = tree.sub_pl[2 * sidx]
-    g2 = tree.sub_pl[2 * sidx + 1]
+    v2, g2 = _pair_taps(tree.sub_pl, sidx)
     done1 = done0 | (g2 >= 0)
     pdf01 = jnp.where(done0, jnp.maximum(v, 0.0), jnp.maximum(v2, 0.0))
     leaf01 = jnp.where(done0, g, jnp.maximum(g2, 0.0)).astype(jnp.int32)
