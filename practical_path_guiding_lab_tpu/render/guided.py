@@ -516,14 +516,40 @@ def splat_filter_mode() -> str:
 
 
 def process_and_splat(tree_current: sd.SDTreeDevice, recs: PathRecords, L_final,
-                      seed0=0, pass_index=0, lane_offset=0):
+                      seed0=0, pass_index=0, lane_offset=0, row_widths=None):
     """Reconstruct per-vertex incident radiance and splat into the current
     tree (reference processPathData + scatterDataIntoSDTree + addDataPropagate).
     Returns the updated tree. ``L_final`` must be in FILM order (the record
     rows carry original sample indices). ``lane_offset``: global id of this
     shard's first lane, so sharded splat jitter draws independent streams
-    per device."""
+    per device.
+
+    ``row_widths`` (STATIC, optional): per-depth record-row widths from the
+    wavefront-shrink cascade (path_tracer.schedule_row_widths). Rows written
+    by a shrunk bounce only hold entries in their first ``w`` columns (the
+    tail is lane=-1 padding), so the splat slices each depth row to its
+    width and runs the whole reconstruct+scatter chain over sum(w_d) lanes
+    instead of D*N — on veach-ajar that is ~7.5M instead of 12M (the deep
+    post-RR rows are ~0% occupied). Identical results: the dropped entries
+    are masked zeros, and the jitter stream ids reproduce the full-width
+    flat indices (depth*N + column)."""
     d, n = recs.lane.shape
+    flat_ids = None
+    if row_widths is not None and tuple(row_widths) != (n,) * d:
+        rw = tuple(row_widths)
+        assert len(rw) == d, (len(rw), d)
+
+        def _sel(a):
+            if a is None:
+                return None
+            return jnp.concatenate([a[i, :w] for i, w in enumerate(rw)], axis=0)
+
+        recs = PathRecords(
+            **{k: _sel(getattr(recs, k)) for k in recs.__dataclass_fields__}
+        )
+        flat_ids = jnp.concatenate(
+            [i * n + jnp.arange(w, dtype=jnp.int32) for i, w in enumerate(rw)]
+        )
     Lv = L_final[jnp.maximum(recs.lane, 0)]  # (D, N, 3) gather by sample row
     if recs.splat_ca is not None:
         # folded-coefficient path (production trace): value is linear in
@@ -576,13 +602,21 @@ def process_and_splat(tree_current: sd.SDTreeDevice, recs: PathRecords, L_final,
             good_pdf, nee_lum / jnp.maximum(wo_pdf, 1e-30), 0.0
         )
 
-    flat = lambda a: a.reshape((n * d,) + a.shape[2:])
+    if flat_ids is None:
+        flat = lambda a: a.reshape((n * d,) + a.shape[2:])
+        n_verts = n * d
+    else:
+        flat = lambda a: a  # records already flat (V, ...)
+        n_verts = int(recs.lane.shape[0])
     jitter_u = None
     dir_jitter_u = None
     mode = splat_filter_mode()
     if mode in ("1", "dir"):
-        # key the jitter stream on GLOBAL vertex ids (shard base + local)
-        v_ids = lane_offset * d + jnp.arange(n * d, dtype=jnp.int32)
+        # key the jitter stream on GLOBAL vertex ids (shard base + local);
+        # sliced records reproduce the full-width flat index per entry
+        ids = flat_ids if flat_ids is not None \
+            else jnp.arange(n * d, dtype=jnp.int32)
+        v_ids = lane_offset * d + ids
         j0, j1 = rng.uniform2(
             seed0, pass_index, 0, rng.PurposeId.SPLAT_JITTER, v_ids
         )
@@ -598,7 +632,7 @@ def process_and_splat(tree_current: sd.SDTreeDevice, recs: PathRecords, L_final,
         flat(recs.position),
         flat(recs.canonical_dir),
         flat(value),
-        jnp.ones(n * d, jnp.float32),
+        jnp.ones(n_verts, jnp.float32),
         nee_xy=flat(recs.nee_dir),
         nee_value=flat(nee_value),
         mask=flat(mask),
@@ -644,7 +678,9 @@ def render_guided_pass(
     return L, px, py, rays, tree_current
 
 
-_splat_jit = jax.jit(process_and_splat, donate_argnums=(0,))
+_splat_jit = jax.jit(
+    process_and_splat, donate_argnums=(0,), static_argnames=("row_widths",)
+)
 
 
 def _film_samples(scene, seed0, pass_index, spp=1):

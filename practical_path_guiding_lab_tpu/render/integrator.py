@@ -176,6 +176,7 @@ class PathGuidingIntegrator:
             self.dev_tree = dev
         else:
             record = not self.is_final
+            row_widths = None
             if pt_mod.cascade_enabled():
                 n_total = (
                     self.scene.camera.width * self.scene.camera.height * spp
@@ -193,18 +194,27 @@ class PathGuidingIntegrator:
                 if sched and bool(ovf):
                     # live lanes dropped (rare): truncated transport —
                     # discard and re-run this pass at full width
+                    sched = ()
                     L, px, py, rays, recs, counts, _ = self._jit_wave(
                         self.scene, self.dev_tree, seed0, cumm_spp,
                         self.iteration, record=record, spp=spp, schedule=(),
                     )
                     pt_mod.plan_update(key, counts)
+                # shrunk bounces wrote partial record rows: the splat can
+                # statically slice each row to its width (~40% fewer lanes)
+                row_widths = pt_mod.schedule_row_widths(
+                    sched, n_total, self.scene.max_depth
+                )
             else:
                 L, px, py, rays, recs = self._jit_wave(
                     self.scene, self.dev_tree, seed0, cumm_spp,
                     self.iteration, record=record, spp=spp,
                 )
             if record:
-                self.dev_tree = _splat_jit(self.dev_tree, recs, L, seed0, cumm_spp)
+                self.dev_tree = _splat_jit(
+                    self.dev_tree, recs, L, seed0, cumm_spp,
+                    row_widths=row_widths,
+                )
         self.sum_l, self.sum_l2 = var_mod.accumulate_moments_aligned(
             self.sum_l, self.sum_l2, L
         )

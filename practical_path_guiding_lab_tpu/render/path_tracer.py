@@ -484,6 +484,22 @@ def plan_schedule(counts, n_total: int, max_depth: int,
     return tuple(segs)
 
 
+def schedule_row_widths(sched, n_total: int, max_depth: int):
+    """Per-depth record-row widths implied by a cascade schedule: records
+    at depth d are written by the segment covering bounce d, at that
+    segment's wavefront width. None (= full width everywhere) when there
+    is no shrink to exploit."""
+    if not sched:
+        return None
+    widths: list = []
+    for end_d, w in sched:
+        widths += [w] * (end_d - len(widths))
+    widths += [widths[-1] if widths else n_total] * (max_depth - len(widths))
+    if all(w >= n_total for w in widths):
+        return None
+    return tuple(widths)
+
+
 def plan_for(key, n_total: int, max_depth: int):
     """Schedule for this pass: () (full-width probe) on first sight of
     ``key``, a shrink schedule afterwards."""

@@ -278,6 +278,69 @@ def test_slim_records_match_full_reconstruction(cornell_small):
     assert np.abs(vf - vs).sum() <= 1e-3 * max(vf.sum(), 1.0)
 
 
+def test_sliced_splat_matches_full_width(cornell_small):
+    """Cascade-sliced splat (static per-depth row widths) must produce
+    exactly the full-width splat's accumulators: the sliced-away row tails
+    are lane=-1 masked padding, and the jitter stream ids reproduce the
+    full-width flat indices."""
+    import os
+
+    import jax.numpy as jnp
+
+    from practical_path_guiding_lab_tpu.render import guided as g
+    from practical_path_guiding_lab_tpu.render.integrator import (
+        PathGuidingIntegrator,
+    )
+
+    scene = cornell_small
+    integ = PathGuidingIntegrator(scene)
+    integ.setup()
+    spp = 0
+    for iteration, passes in ((1, 2), (2, 2)):
+        integ.setIteration(iteration, False)
+        for _ in range(passes):
+            integ.render_pass(0, spp)
+            spp += 1
+        integ.refineAndPrepareSDTreeForNextIteration()
+    n = scene.camera.width * scene.camera.height
+    d = scene.max_depth
+    # shrink hard at depth 2: overflow (dropped live lanes) is fine here —
+    # we only compare the two splats of the SAME record buffer
+    sched = ((2, n), (d, max(n // 4, 1)))
+    out = g.guided_wavefront_pass(
+        scene, integ.dev_tree, 0, spp, 3, record=True, schedule=sched
+    )
+    L, recs = out[0], out[4]
+    from practical_path_guiding_lab_tpu.render.path_tracer import (
+        schedule_row_widths,
+    )
+
+    rw = schedule_row_widths(sched, n, d)
+    assert rw is not None and len(rw) == d and rw[2] == max(n // 4, 1)
+
+    for mode in ("0", "dir"):
+        prev = os.environ.get("PPG_SPLAT_FILTER")
+        os.environ["PPG_SPLAT_FILTER"] = mode
+        try:
+            t_full = g.process_and_splat(integ.dev_tree, recs, L, 0, spp)
+            t_sliced = g.process_and_splat(
+                integ.dev_tree, recs, L, 0, spp, row_widths=rw
+            )
+        finally:
+            if prev is None:
+                os.environ.pop("PPG_SPLAT_FILTER", None)
+            else:
+                os.environ["PPG_SPLAT_FILTER"] = prev
+        np.testing.assert_array_equal(
+            np.asarray(t_full.kd_vert_acc), np.asarray(t_sliced.kd_vert_acc),
+            err_msg=f"mode={mode}",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(t_full.q_irr_acc), np.asarray(t_sliced.q_irr_acc),
+            err_msg=f"mode={mode}",
+        )
+
+
 def test_folded_splat_drops_overflow_scale_records():
     """Extreme-1/throughput vertices: the raw reconstruction overflows to
     inf mid-chain in f32 and sanitizes to zero, but the folded
