@@ -2077,6 +2077,39 @@ def _pair_taps(table, idx):
     return table[2 * idx], table[2 * idx + 1]
 
 
+# Residual-descent tail compaction: lanes unresolved by the two-level
+# grid (quad depth > grid_l+sub_l) are typically a small fraction, but
+# the descent's per-step q_pack row gather runs at the FULL lane width —
+# at late iterations (deep trees) that is several ~10 ms gathers per
+# bounce for <1% of lanes. The tail therefore compacts the unresolved
+# lanes into a fixed cap-row buffer (rank scatter + small gathers), runs
+# the descent at cap width, and scatters the results back; a lax.cond
+# falls back to the full-width descent when the cap overflows. Override
+# for tests via _TAIL_CAP (None = min(max(M//8, 1024), M)).
+_TAIL_CAP = None
+
+
+def _tail_cap(m: int) -> int:
+    if _TAIL_CAP is not None:
+        return min(int(_TAIL_CAP), m)
+    return min(max(m // 8, 1024), m)
+
+
+def _compact_tail(need, m, cap, gather_arrays):
+    """Rank-scatter the ``need`` lanes' ids into ``cap`` slots. Returns
+    (idx (cap,) int32 with M = dropped padding, per-array compacted
+    gathers, done flags for the compacted width)."""
+    rank = jnp.cumsum(need.astype(jnp.int32)) - 1
+    slot_of = jnp.where(need, rank, cap)  # non-needy -> OOB, dropped
+    idx = jnp.full((cap,), m, jnp.int32).at[slot_of].set(
+        jnp.arange(m, dtype=jnp.int32)
+    )
+    safe = jnp.minimum(idx, m - 1)
+    comp = [a[safe] for a in gather_arrays]
+    done_c = idx >= m  # padding slots start resolved
+    return idx, comp, done_c
+
+
 def quad_pdf_leaf_fast2(tree: SDTreeDevice, slot, srow, xy, ok=None):
     """Two-level-grid pdf + point location in ONE packed-row gather chain.
 
@@ -2111,16 +2144,11 @@ def quad_pdf_leaf_fast2(tree: SDTreeDevice, slot, srow, xy, ok=None):
     leaf01 = jnp.where(done0, g, jnp.maximum(g2, 0.0)).astype(jnp.int32)
     node0 = (-g2).astype(jnp.int32) - 1  # depth grid_l+sub_l where ~done1
     root_irr = srow[..., 3]
+    prefix_scale = jnp.exp2(
+        2.0 * jnp.float32(tree.grid_l + tree.sub_l)
+    ) * INV_FOUR_PI
 
-    def tail(_):
-        row0 = tree.q_pack[jnp.maximum(node0, 0)]
-        prefix = (
-            row0[..., 9]
-            * jnp.exp2(2.0 * jnp.float32(tree.grid_l + tree.sub_l))
-            * INV_FOUR_PI
-            / jnp.maximum(root_irr, 1e-30)
-        )
-
+    def _descend(xy_t, node_t, done_t):
         def cond(carry):
             i, node, mul, done = carry
             return (i < tree.quad_max_depth) & ~jnp.all(done)
@@ -2128,26 +2156,56 @@ def quad_pdf_leaf_fast2(tree: SDTreeDevice, slot, srow, xy, ok=None):
         def body(carry):
             i, node, mul, done = carry
             row = tree.q_pack[jnp.maximum(node, 0)]
-            child, ratio, is_leaf = _residual_quadrant(row, xy)
+            child, ratio, is_leaf = _residual_quadrant(row, xy_t)
             adv = ~done & ~is_leaf
             mul2 = jnp.where(adv, mul * ratio, mul)
             node2 = jnp.where(adv, child, node)
             return i + 1, node2, mul2, done | is_leaf
 
         _, node, mul, _ = jax.lax.while_loop(
-            cond,
-            body,
+            cond, body,
             (
-                jnp.int32(0),
-                jnp.maximum(node0, 0),
-                jnp.ones(xy.shape[:-1], jnp.float32),
-                done1,
+                jnp.int32(0), node_t,
+                jnp.ones(xy_t.shape[:-1], jnp.float32), done_t,
             ),
         )
+        return node, mul
+
+    def tail_full(_):
+        row0 = tree.q_pack[jnp.maximum(node0, 0)]
+        prefix = row0[..., 9] * prefix_scale / jnp.maximum(root_irr, 1e-30)
+        node, mul = _descend(xy, jnp.maximum(node0, 0), done1)
         return prefix * mul, node
 
+    need = ~done1
+    if xy.ndim == 2 and (cap := _tail_cap(xy.shape[0])) < xy.shape[0]:
+        m = xy.shape[0]
+
+        def tail_compact(_):
+            idx, (xy_c, node0_c, rirr_c), done_c = _compact_tail(
+                need, m, cap, (xy, node0, root_irr)
+            )
+            node0_c = jnp.maximum(node0_c, 0)
+            row0 = tree.q_pack[node0_c]
+            prefix_c = (
+                row0[..., 9] * prefix_scale / jnp.maximum(rirr_c, 1e-30)
+            )
+            node_c, mul_c = _descend(xy_c, node0_c, done_c)
+            pdf_c = prefix_c * mul_c
+            # idx = M padding rows drop out of the scatters (OOB)
+            return (
+                jnp.zeros((m,), jnp.float32).at[idx].set(pdf_c),
+                jnp.zeros((m,), jnp.int32).at[idx].set(node_c),
+            )
+
+        def tail(_):
+            n_need = jnp.sum(need.astype(jnp.int32))
+            return jax.lax.cond(n_need <= cap, tail_compact, tail_full, None)
+    else:
+        tail = tail_full
+
     pdf_tail, leaf_tail = jax.lax.cond(
-        jnp.any(~done1),
+        jnp.any(need),
         tail,
         lambda _: (
             jnp.zeros(xy.shape[:-1], jnp.float32),
@@ -2186,7 +2244,7 @@ def quad_leaf_lookup_fast2(tree: SDTreeDevice, slot, xy):
     node01 = jnp.where(done0, g, jnp.maximum(n2, 0.0)).astype(jnp.int32)
     node0 = (-n2).astype(jnp.int32) - 1  # internal at grid_l+sub_l
 
-    def tail(_):
+    def _descend(xy_t, node_t, done_t):
         def cond(carry):
             i, node, done = carry
             return (i < tree.quad_max_depth) & ~jnp.all(done)
@@ -2194,16 +2252,37 @@ def quad_leaf_lookup_fast2(tree: SDTreeDevice, slot, xy):
         def body(carry):
             i, node, done = carry
             row = tree.q_pack[jnp.maximum(node, 0)]
-            child, _, is_leaf = _residual_quadrant(row, xy)
+            child, _, is_leaf = _residual_quadrant(row, xy_t)
             node2 = jnp.where(done | is_leaf, node, child)
             return i + 1, node2, done | is_leaf
 
         _, node, _ = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), jnp.maximum(node0, 0), done1)
+            cond, body, (jnp.int32(0), node_t, done_t)
         )
         return node
 
+    def tail_full(_):
+        return _descend(xy, jnp.maximum(node0, 0), done1)
+
+    need = ~done1
+    if xy.ndim == 2 and (cap := _tail_cap(xy.shape[0])) < xy.shape[0]:
+        m = xy.shape[0]
+
+        def tail_compact(_):
+            idx, (xy_c, node0_c), done_c = _compact_tail(
+                need, m, cap, (xy, node0)
+            )
+            node_c = _descend(xy_c, jnp.maximum(node0_c, 0), done_c)
+            # idx = M padding rows drop out of the scatter (OOB)
+            return jnp.zeros((m,), jnp.int32).at[idx].set(node_c)
+
+        def tail(_):
+            n_need = jnp.sum(need.astype(jnp.int32))
+            return jax.lax.cond(n_need <= cap, tail_compact, tail_full, None)
+    else:
+        tail = tail_full
+
     node_tail = jax.lax.cond(
-        jnp.any(~done1), tail, lambda _: jnp.zeros_like(node01), None
+        jnp.any(need), tail, lambda _: jnp.zeros_like(node01), None
     )
     return jnp.where(done1, node01, node_tail)

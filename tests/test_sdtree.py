@@ -320,6 +320,58 @@ def test_fast_tables_deep_tree_exact():
     assert np.allclose(pdf_f, pdf_d, rtol=2e-3, atol=1e-7)
 
 
+def test_residual_tail_compaction_matches_descent(rng_np):
+    """Deep quad trees (depth > grid_l+sub_l) exercise the residual
+    descent tail; the compacted tail (rank-scatter into a fixed cap
+    buffer) and its overflow fallback must both match the reference
+    descent exactly."""
+    import jax.numpy as jnp
+    from practical_path_guiding_lab_tpu.guiding import sdtree as sd
+
+    tree = sd.SDTree([0, 0, 0], [1, 1, 1], kd_capacity=1 << 8,
+                     quad_capacity=1 << 14, quad_max_depth=16)
+    n = 8192
+    for _ in range(4):
+        dev = tree.to_device()
+        # concentrate all flux in one tiny direction cell so refinement
+        # digs far past the two-level grid's depth cover
+        xy = (0.503 + (rng_np.random((n, 2)) - 0.5) * 1e-4).astype(np.float32)
+        p = rng_np.random((n, 3)).astype(np.float32)
+        dev = sd.splat(dev, jnp.asarray(p), jnp.asarray(xy),
+                       jnp.ones(n, jnp.float32), jnp.ones(n, jnp.float32))
+        tree.absorb_accumulators(dev)
+        tree.kd_threshold = 1e9  # quad-only refinement
+        tree.refine()
+    dev = tree.to_device()
+    assert int(np.asarray(dev.q_depth_dev).max()) > dev.grid_l + dev.sub_l
+
+    m = 2048
+    xy = rng_np.random((m, 2)).astype(np.float32)
+    xy[: m // 2] = 0.503 + (rng_np.random((m // 2, 2)).astype(np.float32)
+                            - 0.5) * 2e-3
+    xy = jnp.asarray(xy)
+    p = jnp.asarray(rng_np.random((m, 3)).astype(np.float32))
+    kd_ref, root_ref = sd.kd_lookup(dev, p)
+    _, slot, srow = sd.kd_lookup_grid(dev, p)
+    pdf_ref = np.asarray(sd.quad_pdf_descent(dev, root_ref, xy))
+    leaf_ref = np.asarray(sd.quad_leaf_lookup_descent(dev, root_ref, xy))
+
+    # default heuristic cap; forced-compact (cap < m, > n_need); forced
+    # overflow (cap smaller than the needy count -> full-width fallback)
+    for cap in (None, 1536, 8):
+        old = sd._TAIL_CAP
+        sd._TAIL_CAP = cap
+        try:
+            pdf_g, leaf_pl = sd.quad_pdf_leaf_fast2(dev, slot, srow, xy)
+            leaf_g = sd.quad_leaf_lookup_fast2(dev, slot, xy)
+        finally:
+            sd._TAIL_CAP = old
+        assert np.allclose(np.asarray(pdf_g), pdf_ref, rtol=1e-4,
+                           atol=1e-6), f"cap={cap}"
+        assert (np.asarray(leaf_pl) == leaf_ref).all(), f"cap={cap}"
+        assert (np.asarray(leaf_g) == leaf_ref).all(), f"cap={cap}"
+
+
 def test_fast2_paths_match_descent(rng_np):
     """Gather-diet device paths (dense kd grid, alias sampling, grid pdf,
     packed-row point location) vs the reference descents."""
