@@ -637,11 +637,20 @@ def _derive_device_tables(
         [leaf_lo[:, 0], leaf_lo[:, 1], sizes, pdf_col, node_col], axis=-1
     )
 
-    # bit-packed variant: [u32(lo_x_q | depth<<20), u32(lo_y_q), pdf, node]
+    # bit-packed variant: [u32(lo_x_q | depth<<20), u32(lo_y_q), pdf, node].
+    # Bit 30 is ALWAYS set on both words: the payload only spans bits
+    # 0..24, so without it any packed value < 2^23 is a DENORMAL when
+    # bitcast to f32, and the TPU flushes denormals to zero when this
+    # table is materialized to HBM as a jit output (sampled xy collapsed
+    # to the unit square / wrong pdf on every depth<8 leaf — measured,
+    # docs/PERF_NOTES.md round-3 session 4). Bit 30 forces a normal
+    # exponent (and can never combine with the payload into Inf/NaN);
+    # the decode masks (& 0xFFFFF, >>20 & 0x1F) never see it.
+    hi_bit = jnp.uint32(0x40000000)
     lo_q = jnp.round(leaf_lo * f32(1 << 20)).astype(jnp.uint32)
     d_q = jnp.clip(leaf_depth, 0, 31).astype(jnp.uint32)
-    w0 = jax.lax.bitcast_convert_type(lo_q[:, 0] | (d_q << 20), f32)
-    w1 = jax.lax.bitcast_convert_type(lo_q[:, 1], f32)
+    w0 = jax.lax.bitcast_convert_type(hi_bit | lo_q[:, 0] | (d_q << 20), f32)
+    w1 = jax.lax.bitcast_convert_type(hi_bit | lo_q[:, 1], f32)
     leaf_geomp = jnp.stack([w0, w1, pdf_col, node_col], axis=-1)
 
     # per-(slot, cell) interleaved [pdf_enc, node_enc] grid
@@ -970,11 +979,17 @@ class SDTree:
             "leaf origins must be exact multiples of 2^-20"
         d_q = np.round(-np.log2(np.maximum(leaf_geom[:, 2], 1e-30))).astype(np.int64)
         d_q = np.clip(d_q, 0, 31)
+        # bit 30 set on both words to keep the f32 bit pattern a NORMAL
+        # float (TPU flushes denormals to zero on HBM materialization —
+        # see _derive_device_tables); the decode masks never see it.
         leaf_geomp = np.zeros((nq_cap, 4), np.float32)
         leaf_geomp[:, 0] = (
-            (lo_q[:, 0] | (d_q << 20)).astype(np.uint32).view(np.float32)
+            (0x40000000 | lo_q[:, 0] | (d_q << 20))
+            .astype(np.uint32).view(np.float32)
         )
-        leaf_geomp[:, 1] = lo_q[:, 1].astype(np.uint32).view(np.float32)
+        leaf_geomp[:, 1] = (
+            (0x40000000 | lo_q[:, 1]).astype(np.uint32).view(np.float32)
+        )
         leaf_geomp[:, 2] = leaf_geom[:, 3]
         leaf_geomp[:, 3] = leaf_geom[:, 4]
 

@@ -588,3 +588,45 @@ def test_device_derived_tables_match_host_build(rng_np):
         np.asarray(der["leaf_geomp"][:, 2:]), host["leaf_geomp"][:, 2:],
         rtol=3e-6, atol=1e-8,
     )
+
+
+def test_leaf_geomp_words_are_normal_floats(rng_np):
+    """The packed leaf-geometry words must never be denormal f32 bit
+    patterns: the TPU flushes denormals to zero when the derived table is
+    materialized to HBM (jit output), which silently collapsed every
+    depth<8 leaf's sampling box to the unit square (round-3 bug). Bit 30
+    is set at pack time to force a normal exponent; this guards the
+    invariant on ANY backend, including the CPU CI where the flush
+    itself cannot reproduce."""
+    import jax.numpy as jnp
+    from practical_path_guiding_lab_tpu.guiding import sdtree as sd
+
+    tree = sd.SDTree([0, 0, 0], [1, 1, 1], kd_capacity=1 << 8,
+                     quad_capacity=1 << 12)
+    n = 8000
+    for _ in range(2):
+        dev = tree.to_device()
+        p = rng_np.random((n, 3)).astype(np.float32)
+        xy = rng_np.random((n, 2)).astype(np.float32)
+        val = rng_np.random(n).astype(np.float32) * 10
+        dev = sd.splat(dev, jnp.asarray(p), jnp.asarray(xy),
+                       jnp.asarray(val), jnp.ones(n, jnp.float32))
+        tree.absorb_accumulators(dev)
+        tree.kd_threshold = 2000.0
+        tree.refine()
+    import os
+    for flag in ("0", "1"):
+        old = os.environ.get("PPG_DEVICE_TABLES")
+        os.environ["PPG_DEVICE_TABLES"] = flag
+        try:
+            dev = tree.to_device()
+        finally:
+            if old is None:
+                os.environ.pop("PPG_DEVICE_TABLES", None)
+            else:
+                os.environ["PPG_DEVICE_TABLES"] = old
+        bits = np.asarray(dev.leaf_geomp[:, :2]).view(np.uint32)
+        # live rows: node column >= 0
+        live = np.asarray(dev.leaf_geomp[:, 3]) >= 0
+        exp = (bits >> 23) & 0xFF
+        assert (exp[live] != 0).all(), f"denormal packed word, flag={flag}"
