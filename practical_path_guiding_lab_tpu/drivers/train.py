@@ -153,13 +153,32 @@ def train(cfg: TrainConfig):
         iter_pass = math.ceil(iter_spp / spp_per_pass)
         iter_spp_count = 0
 
+        # Device dispatch width within a final-iteration batch. The 4-spp
+        # single dispatch was a round-2 win but REGRESSED once per-pass
+        # fixed costs fell (measured: PT 0.62 s/spp at 1-spp dispatch vs
+        # 0.86 s/spp at 4-spp, docs/PERF_NOTES.md round-3 session 2), so
+        # the default is now 1-spp dispatches; the 4-spp *accounting*
+        # (metric rows, blending weights, snapshots — main.py:123) is
+        # unchanged, and the per-slice RNG makes the sub-dispatch split
+        # reproduce the same sample streams (seed = seed0 + cumm_spp per
+        # slice, main.py:218). PPG_FINAL_DISPATCH restores wider ones.
+        final_dispatch = max(1, int(_os.environ.get("PPG_FINAL_DISPATCH", "1")))
+
         for pass_i in range(iter_pass):
             curr_pass_spp = min(spp_per_pass, iter_spp - iter_spp_count)
-            # final-iteration batches trace all samples in ONE wavefront
-            # dispatch (amortizes fixed per-dispatch cost; main.py:123)
-            img, rays = integrator.render_pass(
-                cfg.initial_seed, cumm_spp, spp=curr_pass_spp
-            )
+            d = final_dispatch if is_final else curr_pass_spp
+            img = None
+            rays = 0.0
+            done = 0
+            while done < curr_pass_spp:
+                k = min(d, curr_pass_spp - done)
+                im, r = integrator.render_pass(
+                    cfg.initial_seed, cumm_spp + done, spp=k
+                )
+                w_im = im * (k / curr_pass_spp)
+                img = w_im if img is None else img + w_im
+                rays += r
+                done += k
             total_rays += rays
             # accumulate ON DEVICE: the old per-pass np.asarray(img) moved
             # the full 11 MB film to the host EVERY pass (~5 s/pass over
