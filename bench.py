@@ -82,18 +82,21 @@ def bench_guided(scene, n_timed=6):
     train = {**_stats(ts), "mrays_median": round(
         rays_train / float(np.median(ts)) / 1e6, 3)}
 
-    # final-iteration protocol = the driver's: 4-spp batches in ONE
-    # dispatch (train.py batch_spp, reference main.py:123)
+    # final-iteration protocol = the driver's: record-off passes at the
+    # measured-best dispatch width (train.py final_dispatch, default 1 —
+    # the 4-spp amortization win inverted once per-pass fixed costs fell)
+    import os as _os
+    fd = max(1, int(_os.environ.get("PPG_FINAL_DISPATCH", "1")))
     integ.setIteration(3, True)
-    _, rays_final = integ.render_pass(0, spp, spp=4)
-    spp += 4
+    _, rays_final = integ.render_pass(0, spp, spp=fd)
+    spp += fd
     ts = []
     for _ in range(n_timed):
         t0 = time.perf_counter()
-        _, r = integ.render_pass(0, spp, spp=4)
-        spp += 4
+        _, r = integ.render_pass(0, spp, spp=fd)
+        spp += fd
         ts.append(time.perf_counter() - t0)
-    final = {**_stats(ts), "spp_per_dispatch": 4, "mrays_median": round(
+    final = {**_stats(ts), "spp_per_dispatch": fd, "mrays_median": round(
         rays_final / float(np.median(ts)) / 1e6, 3)}
     return train, final
 

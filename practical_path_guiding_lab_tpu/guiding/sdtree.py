@@ -1966,16 +1966,24 @@ def kd_lookup_grid(tree: SDTreeDevice, p, ok=None):
     return kd_leaf, slot, row[..., 2:8]
 
 
-def hemisphere_flat(tree: SDTreeDevice, slot, n):
+def hemisphere_flat(tree: SDTreeDevice, slot, n, ok=None):
     """Usable-hemisphere mass in ONE 1-D gather: the 27-direction code is
     computed from the shading normal FIRST, so only hemi_flat[slot*32 +
-    code] is read (the old path gathered the whole 32-wide row)."""
+    code] is read (the old path gathered the whole 32-wide row).
+
+    ``ok``: lanes that won't consume the mass (dead/missed) read index 0
+    instead of a random HBM access — the gather is latency-bound, so
+    pruned reads are direct wins (same convention as the other tree
+    gathers)."""
     mx = jnp.max(jnp.abs(n), axis=-1, keepdims=True)
     q = jnp.where(
         jnp.abs(n) > 0.5 * jnp.maximum(mx, 1e-12), jnp.sign(n), 0.0
     ).astype(jnp.int32)
     code = (q[..., 0] + 1) + 3 * (q[..., 1] + 1) + 9 * (q[..., 2] + 1)
-    h = tree.hemi_flat[jnp.maximum(slot, 0) * 32 + code]
+    gidx = jnp.maximum(slot, 0) * 32 + code
+    if ok is not None:
+        gidx = jnp.where(ok, gidx, 0)
+    h = tree.hemi_flat[gidx]
     return jnp.where(slot >= 0, h, 0.5)
 
 

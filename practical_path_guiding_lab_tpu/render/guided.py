@@ -218,7 +218,7 @@ def _bounce_body(scene, tree_prev, seed0, pass_index, iteration,
     def _tree_work(args):
         p, ns, wo_nee, bs_wo, g1, g2, hit, nee_ok, bs_delta, u_g = args
         kd_leaf, slot, srow = sd.kd_lookup_grid(tree_prev, p, ok=hit)
-        h = sd.hemisphere_flat(tree_prev, slot, ns)
+        h = sd.hemisphere_flat(tree_prev, slot, ns, ok=hit)
         frac = _mixture_fraction(h, srow[..., 4], depth, bsdf_fraction)
         # tree-vs-BSDF pick (reference :283,286 minus the use_guiding
         # term, which is True inside this branch)
