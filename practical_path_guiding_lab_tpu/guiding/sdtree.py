@@ -681,7 +681,14 @@ def _derive_device_tables(
 
     # level-2 subgrids: expand each internal covering node down sub_l
     # levels, spatial [y][x] layout; quadrant of sub-half (hx, hy):
-    # 0=(1,1) 1=(0,1) 2=(0,0) 3=(1,0)
+    # 0=(1,1) 1=(0,1) 2=(0,0) 3=(1,0).
+    # FLAT-CELL bit descent, 1-D gathers only: the earlier tensor
+    # expansion (stack to (B, r, 2, r, 2) + (B, r, r, 4) child-row
+    # gathers) materializes minor-dim-2/4 temps that the T(8,128) tile
+    # layout pads 32-64x — at the C=4000 post-denormal-fix tree the sub
+    # pool reaches 524288 rows and the stack temp alone is 34 GB (compile
+    # OOM, measured). Each of the 256 final cells instead descends by its
+    # own (y, x) bits: sub_l iterations of one (B, 256) 1-D gather.
     flat_gn = gn.reshape(-1)
     n_flat = flat_gn.shape[0]
     idx = jnp.nonzero(flat_int, size=sub_cap, fill_value=n_flat)[0]
@@ -689,28 +696,33 @@ def _derive_device_tables(
     start = jnp.where(pad, 0, flat_gn[jnp.minimum(idx, n_flat - 1)])
     slot_of_sub = jnp.minimum(idx // cells, max_roots - 1)
     root_irr_sub = root_irr[slot_of_sub]
-    cur = start[:, None, None]
-    for _ in range(sub_l):
-        isleaf = q_child[cur, 0] < 0
-        kids = q_child[cur]  # (B, r, r, 4)
-        sel = [jnp.where(isleaf, cur, kids[..., q]) for q in range(4)]
-        # T[b, i, s, j, t] = cell (2i+s, 2j+t); (s=hy, t=hx) -> quadrant
-        row0 = jnp.stack([sel[2], sel[3]], axis=-1)  # s=0: q2, q3
-        row1 = jnp.stack([sel[1], sel[0]], axis=-1)  # s=1: q1, q0
-        t = jnp.stack([row0, row1], axis=2)  # (B, r, 2, r, 2)
-        r = cur.shape[1]
-        cur = t.reshape(sub_cap, 2 * r, 2 * r)
-    leaf_s = q_child[cur, 0] < 0
+    sres = 1 << sub_l
+    ncell = sres * sres
+    ci = jnp.arange(ncell, dtype=jnp.int32)
+    cy, cx = ci // sres, ci % sres
+    qc0 = q_child[:, 0]
+    qc_flat = q_child.reshape(-1)
+    cur = jnp.broadcast_to(start[:, None], (sub_cap, ncell))
+    for level in range(sub_l):
+        bit = sub_l - 1 - level
+        hy = (cy >> bit) & 1
+        hx = (cx >> bit) & 1
+        # (hy,hx) -> quadrant: (0,0)=2 (0,1)=3 (1,0)=1 (1,1)=0
+        q = (1 - hy) * 2 + (hx ^ hy)
+        isleaf = qc0[cur] < 0  # leaves self-propagate to all cells
+        child = qc_flat[cur * 4 + q[None, :]]
+        cur = jnp.where(isleaf, cur, child)
+    leaf_s = qc0[cur] < 0
     pdf_s = (
         q_irr[cur]
         * jnp.exp2(2.0 * q_depth[cur].astype(f32))
         * f32(INV_FOUR_PI)
-        / jnp.maximum(root_irr_sub, 1e-30)[:, None, None]
+        / jnp.maximum(root_irr_sub, 1e-30)[:, None]
     )
     curf = cur.astype(f32)
     s_val = jnp.where(leaf_s, jnp.nan_to_num(pdf_s), -(curf + 1.0))
     s_node = jnp.where(leaf_s, curf, -(curf + 1.0))
-    live_sub = (~pad)[:, None, None]
+    live_sub = (~pad)[:, None]
     s_val = jnp.where(live_sub, s_val, zero)
     s_node = jnp.where(live_sub, s_node, zero)
     sub_pl = _interleave2(s_val.reshape(-1), s_node.reshape(-1))
