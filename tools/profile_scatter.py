@@ -17,14 +17,19 @@ import jax
 import jax.numpy as jnp
 
 
+def _force(out):
+    # axon is lazy until a D2H fetch (docs/PERF_NOTES.md): a scalar pull
+    # on every output leaf is the only honest end-of-computation marker
+    for leaf in jax.tree_util.tree_leaves(out):
+        np.asarray(leaf.ravel()[:1])
+
+
 def timeit(fn, *args, reps=8):
-    out = fn(*args)
-    jax.block_until_ready(out)
+    _force(fn(*args))
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
+        _force(fn(*args))
         ts.append(time.perf_counter() - t0)
     return float(np.median(ts)) * 1e3
 
