@@ -269,13 +269,38 @@ class PathGuidingIntegrator:
 
     def refineAndPrepareSDTreeForNextIteration(self):
         """Reference :566-586: absorb splats -> set kd threshold -> refine ->
-        compact -> prev = current -> reset current counters."""
+        compact -> prev = current -> reset current counters.
+
+        HBM cap: a refined tree can outgrow one chip's device mirror (the
+        kd C=2000 full-res ajar tree reaches 16.7M quad nodes and the
+        derive program needs 18.6G of 15.75G HBM). Rather than kill a
+        multi-hundred-second training run, the refine is attempted and —
+        if the device mirror fails to compile/allocate — REVERTED: the
+        run continues on the pre-refine structure, which keeps sampler,
+        pdf and splat consistent while still using the newly absorbed
+        irradiance. The reference has no equivalent (Dr.Jit trees live in
+        host RAM); this is the single-chip memory-capacity policy."""
         self.tree_current.absorb_accumulators(self.dev_tree)
         self.tree_current.set_refinement_threshold(self.iteration)
+        snapshot = self.tree_current.copy()
         self.tree_current.refine()
         self.tree_prev = self.tree_current.copy()
         self.tree_current.reset_counters()
-        self._sync_device()
+        try:
+            self._sync_device()
+        except Exception as e:  # jax.errors.JaxRuntimeError: HBM OOM
+            import warnings
+
+            warnings.warn(
+                "[sdtree] refined tree's device mirror does not fit on "
+                f"this chip ({type(e).__name__}: {str(e)[:200]}) — "
+                "reverting the refine and continuing on the previous "
+                "structure (irradiance update kept)."
+            )
+            self.tree_current = snapshot
+            self.tree_prev = snapshot.copy()
+            self.tree_current.reset_counters()
+            self._sync_device()
 
     def saveSDTreeToFile(self, path):
         """Saves the PREV tree (reference :589-595 saves each iteration)."""

@@ -388,3 +388,50 @@ def test_folded_splat_drops_overflow_scale_records():
     vert = float(np.asarray(dev.kd_vert_acc).sum())
     assert abs(got - 1.5) < 1e-5, got     # only vertex 0 splats
     assert vert == 1.0, vert              # poison/negative records dropped
+
+
+def test_refine_hbm_cap_fallback(cornell_small, monkeypatch):
+    """Single-chip memory-capacity policy: when the refined tree's device
+    mirror fails to build (HBM OOM at large pools — seen for real at kd
+    C=2000 full-res ajar, 16.7M quad nodes / 18.6G of 15.75G HBM), the
+    refine is reverted and training continues on the previous structure
+    with the absorbed irradiance kept."""
+    from practical_path_guiding_lab_tpu.guiding.sdtree import SDTree
+
+    integ = PathGuidingIntegrator(cornell_small)
+    integ.setup(kd_capacity=1 << 12, quad_capacity=1 << 16)
+    cumm = 0
+    integ.setIteration(0, False)
+    for _ in range(4):
+        integ.render_pass(0, cumm)
+        cumm += 1
+
+    # what an unconstrained refine would do (growth expected at iter 0)
+    probe = integ.tree_current.copy()
+    probe.absorb_accumulators(integ.dev_tree)
+    probe.set_refinement_threshold(0)
+    probe.refine()
+    kd_before = integ.tree_current.kd_count
+    assert probe.kd_count > kd_before  # the revert below is non-vacuous
+
+    orig = SDTree.to_device
+    calls = {"n": 0}
+
+    def failing(self):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("RESOURCE_EXHAUSTED: simulated HBM OOM")
+        return orig(self)
+
+    monkeypatch.setattr(SDTree, "to_device", failing)
+    with pytest.warns(UserWarning, match="device mirror"):
+        integ.refineAndPrepareSDTreeForNextIteration()
+    assert calls["n"] == 2
+    # refine reverted: pre-refine structure on BOTH trees, mirror rebuilt
+    assert integ.tree_prev.kd_count == kd_before
+    assert integ.tree_current.kd_count == kd_before
+    # the run continues (guided iteration on the reverted mirror)
+    monkeypatch.setattr(SDTree, "to_device", orig)
+    integ.setIteration(2, False)
+    img, _ = integ.render_pass(0, cumm)
+    assert np.isfinite(np.asarray(img)).all()
