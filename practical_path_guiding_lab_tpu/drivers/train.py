@@ -46,6 +46,30 @@ def load_ground_truth(cfg: TrainConfig, scene):
     return gt.astype(np.float32)
 
 
+def _save_csvs(cfg: TrainConfig, records) -> None:
+    """Write every metric CSV stream (overwrite-in-place). Called after each
+    iteration and at the end, so a crash mid-run keeps all completed rows."""
+    perf = FileNameManager.PERFORMANCE_FOLDER_PATH
+    if cfg.record_in_iteration:
+        records["variance_inIter"].saveToFile(perf + "variance_inIter.csv")
+        records["variance_groundTruth_inIter"].saveToFile(
+            perf + "variance_groundTruth_inIter.csv"
+        )
+        records["mse_groundTruth_inIter"].saveToFile(
+            perf + "mse_groundTruth_inIter.csv"
+        )
+    records["variance_endIter"].saveToFile(perf + "variance_endIter.csv")
+    records["variance_groundTruth_endIter"].saveToFile(
+        perf + "variance_groundTruth_endIter.csv"
+    )
+    records["mse_groundTruth_endIter"].saveToFile(
+        perf + "mse_groundTruth_endIter.csv"
+    )
+    records["variance_estimated_final"].saveToFile(
+        perf + "variance_estimated_final.csv"
+    )
+
+
 def train(cfg: TrainConfig):
     desc = load_file(scene_path(cfg.scene), **cfg.scene_overrides)
     scene = compile_scene(desc)
@@ -318,6 +342,13 @@ def train(cfg: TrainConfig):
         elif prev_iter_image is None:
             print_bold_underline("-- Stop training SDTree --")
 
+        if budget_spp - cumm_spp <= 0:
+            # budget exhausted: every render is done, so release the device
+            # tree mirror BEFORE the final image develops/fetches below (on
+            # big trees the mirror is ~GBs and the last PNG write OOM'd
+            # with it resident)
+            integrator.free_device_tree()
+
         prev_iter_image = image
         cumm_time += time.perf_counter() - t_iter0
 
@@ -335,27 +366,14 @@ def train(cfg: TrainConfig):
         variance_prev = variance_current
         iteration += 1
         cumm_spp_prev = cumm_spp
+        # flush the CSV streams after EVERY iteration (overwrite-in-place,
+        # a few rows each): an end-of-run-only save lost all metric CSVs
+        # when a kd-C=3000 run crashed at its very last image fetch
+        if cfg.save_outputs:
+            _save_csvs(cfg, records)
 
     if cfg.save_outputs:
-        perf = FileNameManager.PERFORMANCE_FOLDER_PATH
-        if cfg.record_in_iteration:
-            records["variance_inIter"].saveToFile(perf + "variance_inIter.csv")
-            records["variance_groundTruth_inIter"].saveToFile(
-                perf + "variance_groundTruth_inIter.csv"
-            )
-            records["mse_groundTruth_inIter"].saveToFile(
-                perf + "mse_groundTruth_inIter.csv"
-            )
-        records["variance_endIter"].saveToFile(perf + "variance_endIter.csv")
-        records["variance_groundTruth_endIter"].saveToFile(
-            perf + "variance_groundTruth_endIter.csv"
-        )
-        records["mse_groundTruth_endIter"].saveToFile(
-            perf + "mse_groundTruth_endIter.csv"
-        )
-        records["variance_estimated_final"].saveToFile(
-            perf + "variance_estimated_final.csv"
-        )
+        _save_csvs(cfg, records)
 
     return {
         "image": image,

@@ -550,7 +550,15 @@ def process_and_splat(tree_current: sd.SDTreeDevice, recs: PathRecords, L_final,
         flat_ids = jnp.concatenate(
             [i * n + jnp.arange(w, dtype=jnp.int32) for i, w in enumerate(rw)]
         )
-    Lv = L_final[jnp.maximum(recs.lane, 0)]  # (D, N, 3) gather by sample row
+    # Row gather by sample id. A (V,3)-row gather output forces the
+    # T(8,128) minor-dim pad 3 -> 128 on TPU (the same pathology measured
+    # for (M,2) operands, docs/PERF_NOTES.md); 4-wide rows gather at the
+    # 1-D floor (gather-shape microbench: u32[R,4] == floor), so the film
+    # is padded with one zero column before the gather.
+    L4 = jnp.concatenate(
+        [L_final, jnp.zeros((L_final.shape[0], 1), L_final.dtype)], axis=-1
+    )
+    Lv = L4[jnp.maximum(recs.lane, 0)][..., :3]  # (D, N, 3) by sample row
     if recs.splat_ca is not None:
         # folded-coefficient path (production trace): value is linear in
         # L_final; the guards are baked into the coefficients. The

@@ -267,6 +267,16 @@ class PathGuidingIntegrator:
 
     # ------------------------------------------------------------------ #
 
+    def free_device_tree(self):
+        """Drop the device tree mirror. Called by the training driver once
+        all renders are done (budget exhausted): on big trees the mirror is
+        hundreds of MB to ~GBs of HBM, and keeping it resident through the
+        final image develop/metric fetches caused a RESOURCE_EXHAUSTED at
+        the last PNG write on a kd-C=3000 veach-ajar run (16.7M quad
+        nodes). The host-authoritative tree (tree_prev/tree_current) is
+        untouched, so save/plot/refine-from-host all still work."""
+        self.dev_tree = None
+
     def refineAndPrepareSDTreeForNextIteration(self):
         """Reference :566-586: absorb splats -> set kd threshold -> refine ->
         compact -> prev = current -> reset current counters.
