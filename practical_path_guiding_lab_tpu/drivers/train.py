@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import math
 import time
+import warnings
 
 import numpy as np
 
@@ -353,15 +354,27 @@ def train(cfg: TrainConfig):
         cumm_time += time.perf_counter() - t_iter0
 
         if cfg.save_outputs:
-            base = FileNameManager.generateImageFileName(iteration, image_spp)
-            image_io.write_png(f"{base}_cumm_spp-{cumm_spp}.png", image)
-            exr_io.write(f"{base}_cumm_spp-{cumm_spp}.exr", image)
-            integrator.saveSDTreeToFile(
-                FileNameManager.generateTreeDataFileName(iteration)
-            )
-            integrator.saveSDTreeOBJ(
-                FileNameManager.generateOBJFileName(iteration)
-            )
+            # a snapshot write must never kill a multi-hundred-second run:
+            # the image fetch is a device op and has OOM'd right after a
+            # near-capacity refine (kd-C=2500 full-res ajar) — warn and
+            # keep training instead
+            try:
+                base = FileNameManager.generateImageFileName(
+                    iteration, image_spp
+                )
+                image_io.write_png(f"{base}_cumm_spp-{cumm_spp}.png", image)
+                exr_io.write(f"{base}_cumm_spp-{cumm_spp}.exr", image)
+                integrator.saveSDTreeToFile(
+                    FileNameManager.generateTreeDataFileName(iteration)
+                )
+                integrator.saveSDTreeOBJ(
+                    FileNameManager.generateOBJFileName(iteration)
+                )
+            except Exception as e:  # noqa: BLE001
+                warnings.warn(
+                    f"[train] iteration-{iteration} snapshot save failed "
+                    f"({type(e).__name__}: {str(e)[:160]}) — continuing"
+                )
 
         variance_prev = variance_current
         iteration += 1

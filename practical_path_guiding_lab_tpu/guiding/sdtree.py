@@ -598,7 +598,6 @@ def _interleave2(v, g):
     return out.reshape(-1)
 
 
-@partial(jax.jit, static_argnames=("sub_cap", "sub_l"))
 def _derive_device_tables(
     q_child, q_irr, q_depth, grid_node, leaf_cdf, leaf_node, leaf_lo,
     leaf_depth, root_leaf_off, slot_row, n_slots, *, sub_cap, sub_l,
@@ -616,12 +615,32 @@ def _derive_device_tables(
     (``SDTree._build_fast2(big=True)``) is kept as the differential-test
     reference (host computes in f64, device in f32 — pdf columns agree to
     f32 rounding; structural columns are exact).
+
+    Split into THREE jit programs (quad pack / leaf geometry / grid+sub)
+    so XLA's peak temporary allocation is the max over the three, not
+    their sum: as ONE program the derive wanted 18.65 G of 15.75 G HBM at
+    the 16.7M-quad-node kd-C=2000 tree and the refine had to be reverted.
     """
+    out = dict(_derive_qpack(q_child, q_irr, q_depth))
+    out.update(
+        _derive_leaf_tables(
+            leaf_cdf, leaf_node, leaf_lo, leaf_depth, root_leaf_off,
+            n_slots,
+        )
+    )
+    out.update(
+        _derive_grid_sub(
+            q_child, q_irr, q_depth, grid_node, slot_row, n_slots,
+            sub_cap=sub_cap, sub_l=sub_l,
+        )
+    )
+    return out
+
+
+@jax.jit
+def _derive_qpack(q_child, q_irr, q_depth):
     f32 = jnp.float32
     nq_cap = q_child.shape[0]
-    max_roots, cells = grid_node.shape
-    root_irr = slot_row[:, 3]
-
     # packed quad node rows: [c0..3, irr_kid0..3, depth, irr, 0...]
     kid_irr = jnp.where(
         q_child >= 0, q_irr[jnp.maximum(q_child, 0)], 0.0
@@ -636,6 +655,16 @@ def _derive_device_tables(
         ],
         axis=-1,
     )
+    return dict(q_pack=q_pack)
+
+
+@jax.jit
+def _derive_leaf_tables(
+    leaf_cdf, leaf_node, leaf_lo, leaf_depth, root_leaf_off, n_slots
+):
+    f32 = jnp.float32
+    nq_cap = leaf_cdf.shape[0]
+    max_roots = root_leaf_off.shape[0]
 
     # per-leaf-slot geometry rows (p_i = cdf_i - cdf_{i-1} per segment)
     leaf_p = jnp.concatenate([leaf_cdf[:1], leaf_cdf[1:] - leaf_cdf[:-1]])
@@ -671,6 +700,17 @@ def _derive_device_tables(
     w0 = jax.lax.bitcast_convert_type(hi_bit | lo_q[:, 0] | (d_q << 20), f32)
     w1 = jax.lax.bitcast_convert_type(hi_bit | lo_q[:, 1], f32)
     leaf_geomp = jnp.stack([w0, w1, pdf_col, node_col], axis=-1)
+    return dict(leaf_geom=leaf_geom, leaf_geomp=leaf_geomp)
+
+
+@partial(jax.jit, static_argnames=("sub_cap", "sub_l"))
+def _derive_grid_sub(
+    q_child, q_irr, q_depth, grid_node, slot_row, n_slots, *, sub_cap,
+    sub_l,
+):
+    f32 = jnp.float32
+    max_roots, cells = grid_node.shape
+    root_irr = slot_row[:, 3]
 
     # per-(slot, cell) interleaved [pdf_enc, node_enc] grid
     gn = jnp.maximum(grid_node, 0)
@@ -745,11 +785,7 @@ def _derive_device_tables(
     s_val = jnp.where(live_sub, s_val, zero)
     s_node = jnp.where(live_sub, s_node, zero)
     sub_pl = _interleave2(s_val.reshape(-1), s_node.reshape(-1))
-
-    return dict(
-        q_pack=q_pack, leaf_geom=leaf_geom, leaf_geomp=leaf_geomp,
-        grid_pl=grid_pl, sub_pl=sub_pl,
-    )
+    return dict(grid_pl=grid_pl, sub_pl=sub_pl)
 
 
 # ===========================================================================

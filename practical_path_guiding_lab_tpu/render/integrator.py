@@ -291,6 +291,11 @@ class PathGuidingIntegrator:
         irradiance. The reference has no equivalent (Dr.Jit trees live in
         host RAM); this is the single-chip memory-capacity policy."""
         self.tree_current.absorb_accumulators(self.dev_tree)
+        # the old mirror is dead once its accumulators are absorbed; free
+        # it BEFORE building the refined mirror — keeping both resident
+        # doubled peak HBM during the rebuild and pushed the kd-C=2500
+        # full-res ajar run over the edge (measured)
+        self.dev_tree = None
         self.tree_current.set_refinement_threshold(self.iteration)
         snapshot = self.tree_current.copy()
         self.tree_current.refine()
@@ -299,6 +304,7 @@ class PathGuidingIntegrator:
         try:
             self._sync_device()
         except Exception as e:  # jax.errors.JaxRuntimeError: HBM OOM
+            import gc
             import warnings
 
             warnings.warn(
@@ -307,6 +313,8 @@ class PathGuidingIntegrator:
                 "reverting the refine and continuing on the previous "
                 "structure (irradiance update kept)."
             )
+            self.dev_tree = None  # drop any partially-built mirror
+            gc.collect()
             self.tree_current = snapshot
             self.tree_prev = snapshot.copy()
             self.tree_current.reset_counters()
