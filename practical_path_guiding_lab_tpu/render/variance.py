@@ -35,31 +35,33 @@ def accumulate_moments_aligned(sum_l, sum_l2, L):
 
 @jax.jit
 def compute_mse(sum_l, spp, gt):
-    """Luminance MSE of the mean image vs ground truth, clamped at 1e4
-    (reference computeMSE, path_guiding_integrator.py:503-517)."""
+    """Luminance of the per-channel squared error of the mean image vs
+    ground truth, per-pixel clamp at 1e4, mean — reference-exact order of
+    operations (computeMSE, path_guiding_integrator.py:503-517:
+    ``mse = luminance((L - GT)**2); minimum(mse, 10000); mean``)."""
     mean = sum_l / spp
-    diff2 = (luminance(mean) - luminance(gt)) ** 2
+    diff2 = luminance((mean - gt) ** 2)
     return jnp.mean(jnp.minimum(diff2, CLAMP))
 
 
 @jax.jit
 def compute_variance_self(sum_l, sum_l2, spp):
-    """Sample variance of the per-pixel mean estimator:
-    (E[L^2] - E[L]^2) / (spp - 1), luminance, clamped
-    (reference computeVariance, path_guiding_integrator.py:520-538)."""
-    mean = luminance(sum_l) / spp
-    mean2 = luminance(sum_l2) / spp
-    var = (mean2 - mean * mean) / jnp.maximum(spp - 1.0, 1.0)
-    var = jnp.minimum(jnp.maximum(var, 0.0), CLAMP)
-    return jnp.mean(var)
+    """Sample variance of the per-pixel mean estimator — reference-exact
+    (computeVariance, path_guiding_integrator.py:520-538): per-channel
+    ``L2 - L*L``, THEN luminance, per-pixel clamp at 1e4 (no lower clamp),
+    mean, and the /(spp-1) division applied AFTER the clamped mean."""
+    L = sum_l / spp
+    L2 = sum_l2 / spp
+    var = luminance(L2 - L * L)
+    var = jnp.mean(jnp.minimum(var, CLAMP))
+    return jnp.where(spp > 1.0, var / jnp.maximum(spp - 1.0, 1.0), var)
 
 
 @jax.jit
 def compute_variance_gt(sum_l, sum_l2, spp, gt):
-    """Population variance against ground truth: (E[L^2] - GT^2)/spp
-    (reference path_guiding_integrator.py:540-550)."""
-    mean2 = luminance(sum_l2) / spp
-    g = luminance(gt)
-    var = (mean2 - g * g) / spp
-    var = jnp.minimum(jnp.maximum(var, 0.0), CLAMP)
-    return jnp.mean(var)
+    """Population variance against ground truth — reference-exact
+    (path_guiding_integrator.py:540-550): per-channel ``sumL2/spp - GT*GT``,
+    THEN luminance, per-pixel clamp at 1e4 (no lower clamp), mean, /spp
+    after the clamped mean."""
+    var = luminance(sum_l2 / spp - gt * gt)
+    return jnp.mean(jnp.minimum(var, CLAMP)) / spp

@@ -60,6 +60,58 @@ def test_train_schedule_and_outputs(train_run):
     result["integrator"].tree_prev.validate()
 
 
+def test_train_invvar_blend_gated_at_low_spp(train_run):
+    """The invvar combination only engages for segments with spp >= 32
+    (low-spp self-variance estimates are unreliable, see invvar_combine
+    docstring): the 12-spp fixture run must NOT produce blend outputs and
+    the reference-protocol outputs stay untouched."""
+    result, out = train_run
+    assert result["mse_blend"] is None
+    base = out / "cornell-box"
+    assert not (base / "performance" / "mse_groundTruth_blend.csv").exists()
+    assert not list((base / "image").glob("cornell-box_invvar-blend_*"))
+
+
+def test_invvar_combine_synthetic():
+    """invvar_combine on controlled data: known noise levels -> the
+    combination beats the best single segment, weights follow 1/Var, and
+    unqualified (low-spp / high-variance) segments are excluded."""
+    from practical_path_guiding_lab_tpu.drivers.train import invvar_combine
+
+    rng = np.random.default_rng(7)
+    truth = rng.random((4096, 3)).astype(np.float32) * 2
+    lw = np.array([0.212671, 0.71516, 0.072169], np.float32)
+
+    def seg(sigma, spp):
+        noisy = truth + rng.normal(0, sigma, truth.shape).astype(np.float32)
+        # per-pixel luminance variance of an isotropic-sigma image
+        return {"mean": noisy, "var": float(sigma**2 * np.sum(lw**2)), "spp": spp}
+
+    s_a, s_b, s_c = seg(0.4, 32), seg(0.25, 64), seg(0.15, 128)
+    out = invvar_combine([s_a, s_b, s_c])
+    assert out is not None
+    comb, ws, var_blend = out
+    # weights ordered by 1/Var and sum to 1
+    assert ws[0] < ws[1] < ws[2]
+    assert abs(ws.sum() - 1.0) < 1e-9
+    def mse(img):
+        return float(np.mean(((img - truth) ** 2) @ lw))
+    assert mse(comb) < mse(s_c["mean"]) * 0.75  # clear win over the best
+    assert var_blend < s_c["var"]
+    # low-spp segment is excluded: 2-segment result identical to dropping it
+    s_low = seg(0.05, 4)  # tiny spp, deceptively low variance
+    out2 = invvar_combine([s_low, s_b, s_c])
+    comb2, ws2, _ = out2
+    assert len(ws2) == 2
+    # wildly-worse variance segment is excluded by the ratio cap
+    s_bad = seg(5.0, 64)
+    out3 = invvar_combine([s_bad, s_c])
+    assert out3 is None  # only the final qualifies -> no blend
+    # fewer than two segments -> None
+    assert invvar_combine([s_c]) is None
+    assert invvar_combine([]) is None
+
+
 def test_repeat_driver(train_run):
     _, out = train_run
     cfg = RepeatConfig(
