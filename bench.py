@@ -105,7 +105,9 @@ def main():
     from practical_path_guiding_lab_tpu.scene import load_file
     from practical_path_guiding_lab_tpu.scene.scene import compile_scene
 
-    scene_path = "/root/reference/scenes/veach-ajar/scene.xml"
+    from practical_path_guiding_lab_tpu.drivers.config import scene_path as _sp
+
+    scene_path = str(_sp("veach-ajar"))
     desc = load_file(scene_path, resx=1280, resy=720)
     scene = compile_scene(desc)
 

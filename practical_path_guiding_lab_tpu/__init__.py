@@ -51,11 +51,13 @@ def __getattr__(name):
 # expensive on remote-compile TPU backends; cache across processes/rounds.
 import os as _os
 
+from . import knobs
+
 if "JAX_COMPILATION_CACHE_DIR" not in _os.environ:
     try:
         import jax as _jax
 
-        _cache = _os.environ.get("PPG_TPU_JIT_CACHE", "/tmp/ppg_tpu_jit_cache")
+        _cache = knobs.get("PPG_TPU_JIT_CACHE")
         _os.makedirs(_cache, exist_ok=True)
         _jax.config.update("jax_compilation_cache_dir", _cache)
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)

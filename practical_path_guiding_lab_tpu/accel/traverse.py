@@ -15,6 +15,7 @@ import jax.numpy as jnp
 
 from ..core.math import dot, normalize, safe_sqrt
 from ..core.records import Intersection
+from .. import knobs
 
 TRI_BLOCK = 128
 # the clustered kernel's Mosaic temporaries scale with cluster count and
@@ -61,7 +62,7 @@ def _kernel_choice() -> str:
     'cluster' via PPG_INTERSECT for A/B benchmarking."""
     import os
 
-    return os.environ.get("PPG_INTERSECT", "bvh")
+    return knobs.get("PPG_INTERSECT")
 
 
 def _intersect_tri_block(o, d, v0, e1, e2):

@@ -14,6 +14,7 @@ import numpy as np
 
 from ..io import exr as exr_io
 from ..io import image as image_io
+from .. import knobs
 from ..render.integrator import PathTracingIntegrator
 from ..scene import load_file
 from ..scene.scene import compile_scene
@@ -31,6 +32,10 @@ def render_baseline(cfg: BaselineConfig):
     FileNameManager.setSceneName(cfg.scene)
     if cfg.save_outputs:
         FileNameManager.createDebugFolder()
+        knobs.write_manifest(
+            FileNameManager.DEBUG_ROOT / cfg.scene, run_config=cfg,
+            extra={"driver": "baseline"},
+        )
 
     integ = PathTracingIntegrator(scene)
     perf = PerformanceData()

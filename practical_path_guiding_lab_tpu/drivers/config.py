@@ -6,7 +6,10 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from pathlib import Path
 
-SCENES_ROOT = Path("/root/reference/scenes")
+from .. import knobs
+
+# Overridable via PPG_SCENES_ROOT; defaults to the test corpus checkout.
+SCENES_ROOT = Path(knobs.get("PPG_SCENES_ROOT"))
 
 SCENE_FILES = {
     "cornell-box": "cornell-box/scene.xml",

@@ -13,6 +13,7 @@ from pathlib import Path
 import numpy as np
 
 from ..analysis.performance_plot import average_simulations
+from .. import knobs
 from ..render.integrator import PathGuidingIntegrator
 from ..scene import load_file
 from ..scene.scene import compile_scene
@@ -98,6 +99,10 @@ def run_repeat(cfg: RepeatConfig):
     FileNameManager.DEBUG_ROOT = Path(cfg.out_root)
     FileNameManager.setSceneName(cfg.scene)
     FileNameManager.createDebugFolder()
+    knobs.write_manifest(
+        FileNameManager.DEBUG_ROOT / cfg.scene, run_config=cfg,
+        extra={"driver": "repeat"},
+    )
 
     all_paths = []
     for sim in range(cfg.total_simulations):

@@ -29,6 +29,7 @@ from ..scene import load_file
 from ..scene.scene import compile_scene
 from ..utils import FileNameManager, PerformanceData, print_bold_underline, print_title
 from .config import TrainConfig, scene_path
+from .. import knobs
 
 
 def load_ground_truth(cfg: TrainConfig, scene):
@@ -123,6 +124,10 @@ def train(cfg: TrainConfig):
     FileNameManager.setSceneName(cfg.scene)
     if cfg.save_outputs:
         FileNameManager.createDebugFolder()
+        knobs.write_manifest(
+            FileNameManager.DEBUG_ROOT / cfg.scene, run_config=cfg,
+            extra={"driver": "train"},
+        )
 
     integrator = PathGuidingIntegrator(
         scene, bsdf_sampling_fraction=cfg.bsdf_sampling_fraction
@@ -194,7 +199,7 @@ def train(cfg: TrainConfig):
     segments = []
     import os as _os_blend
 
-    blend_enabled = _os_blend.environ.get("PPG_INVVAR_BLEND", "1") == "1"
+    blend_enabled = knobs.get_bool("PPG_INVVAR_BLEND")
 
     while remaining > 0:
         t_iter0 = time.perf_counter()
@@ -228,7 +233,7 @@ def train(cfg: TrainConfig):
 
         spp_per_pass = (
             cfg.batch_spp if is_final
-            else max(1, int(_os.environ.get("PPG_TRAIN_SPP", "1")))
+            else max(1, knobs.get_int("PPG_TRAIN_SPP"))
         )
         iter_pass = math.ceil(iter_spp / spp_per_pass)
         iter_spp_count = 0
@@ -242,7 +247,7 @@ def train(cfg: TrainConfig):
         # unchanged, and the per-slice RNG makes the sub-dispatch split
         # reproduce the same sample streams (seed = seed0 + cumm_spp per
         # slice, main.py:218). PPG_FINAL_DISPATCH restores wider ones.
-        final_dispatch = max(1, int(_os.environ.get("PPG_FINAL_DISPATCH", "1")))
+        final_dispatch = max(1, knobs.get_int("PPG_FINAL_DISPATCH"))
 
         for pass_i in range(iter_pass):
             curr_pass_spp = min(spp_per_pass, iter_spp - iter_spp_count)

@@ -14,6 +14,7 @@ import threading
 from pathlib import Path
 
 import numpy as np
+from .. import knobs
 
 _HERE = Path(__file__).parent
 _SRC = _HERE / "cpp" / "sdtree_native.cpp"
@@ -37,7 +38,7 @@ def load():
     global _lib, _failed
     if _lib is not None or _failed:
         return _lib
-    if os.environ.get("PPG_TPU_NO_NATIVE") == "1":
+    if knobs.get_bool("PPG_TPU_NO_NATIVE"):
         _failed = True
         return None
     with _lock:

@@ -29,6 +29,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from flax import struct
+from .. import knobs
 
 KD_SPLIT_C = 12000.0  # reference kdtree.py:329-330
 QUAD_FLUX_FRACTION = 0.01  # reference quadtree.py:519
@@ -1138,7 +1139,7 @@ class SDTree:
 
         size = np.maximum(self.bbox_hi - self.bbox_lo, 1e-9)
         tables = self._build_lookup_tables()
-        derive = _os.environ.get("PPG_DEVICE_TABLES", "1") != "0"
+        derive = knobs.get_bool("PPG_DEVICE_TABLES")
         fast2 = self._build_fast2(tables, big=not derive)
         kd_grid2_d = jnp.asarray(fast2["kd_grid2"])
         slot_row_d = jnp.asarray(fast2["slot_row"])
@@ -1364,7 +1365,7 @@ class SDTree:
         semantics (round-2 verdict item 4)."""
         import os
 
-        c = float(os.environ.get("PPG_KD_SPLIT_C", KD_SPLIT_C))
+        c = knobs.get_float("PPG_KD_SPLIT_C")
         self.kd_threshold = c * np.sqrt(2.0**iteration)
 
     def refine(self):
@@ -1375,7 +1376,7 @@ class SDTree:
         import time as _time
         import os as _os
 
-        if _os.environ.get("PPG_DEBUG_REFINE"):
+        if knobs.get_bool("PPG_DEBUG_REFINE"):
             _p = f"/tmp/refine_dump_kd{self.kd_count}_q{self.q_count}.npz"
             np.savez_compressed(
                 _p,
@@ -1856,7 +1857,7 @@ class SDTree:
 
 import os as _os
 
-USE_FAST_TREE = _os.environ.get("PPG_TPU_FAST_TREE", "1") == "1"
+USE_FAST_TREE = knobs.get_bool("PPG_TPU_FAST_TREE")
 
 
 def _locate_leaf_fast(tree: SDTreeDevice, root, xy):

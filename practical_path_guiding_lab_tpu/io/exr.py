@@ -21,6 +21,7 @@ import numpy as np
 
 from . import native as _native
 from . import piz as _piz
+from .. import knobs
 
 MAGIC = 20000630
 
@@ -28,7 +29,7 @@ _PT_UINT, _PT_HALF, _PT_FLOAT = 0, 1, 2
 _COMP_NONE, _COMP_RLE, _COMP_ZIPS, _COMP_ZIP, _COMP_PIZ = 0, 1, 2, 3, 4
 _LINES_PER_BLOCK = {_COMP_NONE: 1, _COMP_ZIPS: 1, _COMP_ZIP: 16, _COMP_PIZ: 32}
 
-_CACHE_DIR = Path(os.environ.get("PPG_TPU_CACHE", "/tmp/ppg_tpu_cache"))
+_CACHE_DIR = Path(knobs.get("PPG_TPU_CACHE"))
 
 
 def _parse_header(data: bytes):

@@ -36,11 +36,12 @@ from jax.experimental.pallas import tpu as pltpu
 from .intersect import LANE_BLOCK, RAY_ROWS, _common_planes, _mt_one, _plan, _safe_inv
 
 import os as _os
+from ... import knobs
 
 # Triangles per leaf block (builder enforces <= LEAF_K). Bigger leaves
 # halve the vector-throughput-bound walk's step count and shift work to
 # the cheap unrolled MT phase; PPG_BVH_LEAF makes the trade measurable.
-LEAF_K = int(_os.environ.get("PPG_BVH_LEAF", "8"))  # measured: 8 beats 4
+LEAF_K = knobs.get_int("PPG_BVH_LEAF")  # measured: 8 beats 4
 # by ~4.5% and 16 regresses on veach-ajar (walk steps traded against the
 # cheap unrolled MT phase; docs/PERF_NOTES.md round-3)
 

@@ -24,13 +24,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 import os as _os
+from ... import knobs
 
 LANE_BLOCK = 1024     # lanes per ray row
 # sublane rows per grid step (8 -> 8192 rays/step). Larger tiles amortize
 # the scalar-latency-bound BVH walk over more rays (fewer grid steps, and
 # the union of visited nodes grows sublinearly with tile size); tunable
 # for benchmarking via PPG_RAY_ROWS.
-RAY_ROWS = int(_os.environ.get("PPG_RAY_ROWS", "8"))
+RAY_ROWS = knobs.get_int("PPG_RAY_ROWS")
 
 
 TRI_SUB = 8  # triangles per VMEM block read (unrolled inner loop)

@@ -29,6 +29,7 @@ from ..core.sphere_map import canonical_to_dir, dir_to_canonical
 from ..guiding import sdtree as sd
 from ..scene import emitters as em_mod
 from ..scene.camera import generate_rays
+from .. import knobs
 
 
 def adaptive_fraction_enabled() -> bool:
@@ -38,7 +39,7 @@ def adaptive_fraction_enabled() -> bool:
     (path_guiding_integrator.py:223)."""
     import os
 
-    return os.environ.get("PPG_ADAPTIVE_FRACTION", "1") == "1"
+    return knobs.get_bool("PPG_ADAPTIVE_FRACTION")
 
 
 _policy_logged = False
@@ -56,7 +57,7 @@ def log_fraction_policy():
     import sys
 
     if adaptive_fraction_enabled():
-        pol = os.environ.get("PPG_FRAC_POLICY", "hsq")
+        pol = knobs.get("PPG_FRAC_POLICY")
         print(
             "[guided] adaptive per-lane bsdfSamplingFraction ON "
             f"(PPG_FRAC_POLICY={pol}); set PPG_ADAPTIVE_FRACTION=0 for the "
@@ -81,7 +82,7 @@ def _mixture_fraction(hemi, vert_cnt, depth, bsdf_fraction):
         return jnp.full(hemi.shape, bsdf_fraction)
     import os
 
-    policy = os.environ.get("PPG_FRAC_POLICY", "hsq")
+    policy = knobs.get("PPG_FRAC_POLICY")
     if policy == "trust":  # only trees with >50% usable mass
         share = jnp.maximum(2.0 * hemi - 1.0, 0.0)
     elif policy.startswith("hsq"):
@@ -91,7 +92,7 @@ def _mixture_fraction(hemi, vert_cnt, depth, bsdf_fraction):
     if policy.endswith("m"):  # maturity gate: distrust sparse cells
         share = share * jnp.clip(vert_cnt / 1000.0, 0.0, 1.0)
     frac = 1.0 - (1.0 - bsdf_fraction) * share
-    max_guided_depth = int(os.environ.get("PPG_GUIDE_MAX_DEPTH", "99"))
+    max_guided_depth = knobs.get_int("PPG_GUIDE_MAX_DEPTH")
     return jnp.where(depth < max_guided_depth, frac, 1.0)
 
 
@@ -120,7 +121,7 @@ def _init_state(scene, px, py, lane_ids, record: bool):
 
         state["recs"] = PathRecords.zeros(
             n_rays, scene.max_depth,
-            slim=os.environ.get("PPG_FULL_RECORDS", "0") != "1",
+            slim=not knobs.get_bool("PPG_FULL_RECORDS"),
         )
     return state
 
@@ -512,7 +513,7 @@ def splat_filter_mode() -> str:
     direction within its quad leaf width — non-leaking)."""
     import os
 
-    return os.environ.get("PPG_SPLAT_FILTER", "0")
+    return knobs.get("PPG_SPLAT_FILTER")
 
 
 def process_and_splat(tree_current: sd.SDTreeDevice, recs: PathRecords, L_final,

@@ -44,6 +44,7 @@ from .guided import (
 from . import path_tracer as pt_mod
 from .path_tracer import _film_prologue
 from .path_tracer import render_wavefront_stepped
+from .. import knobs
 
 
 _FILM_JIT = None
@@ -63,7 +64,7 @@ def _stepped_backend() -> bool:
     for backends where big fused programs misbehave (PPG_TPU_STEPPED=1)."""
     import os
 
-    return os.environ.get("PPG_TPU_STEPPED") == "1"
+    return knobs.get_bool("PPG_TPU_STEPPED")
 
 
 class PathGuidingIntegrator:

@@ -20,6 +20,7 @@ from ..core.math import (
 )
 from ..scene import emitters as em_mod
 from ..scene.camera import generate_rays
+from .. import knobs
 
 
 def _pack_state(s, keys3, keys1):
@@ -188,7 +189,7 @@ def rr_mode() -> str:
     """
     import os
 
-    return os.environ.get("PPG_RR", "reference")
+    return knobs.get("PPG_RR")
 
 
 def apply_rr(tp_new, eta_scale, u_rr, do_rr, n_rays):
@@ -453,7 +454,7 @@ def cascade_enabled() -> bool:
     """Wavefront-shrink cascade (default on); PPG_CASCADE=0 disables."""
     import os
 
-    return os.environ.get("PPG_CASCADE", "1") != "0"
+    return knobs.get_bool("PPG_CASCADE")
 
 
 def _next_pow2(x: int) -> int:

@@ -17,8 +17,11 @@ class PerformanceData:
                 "spp": spp,
                 "cumm_spp": cumm_spp,
                 "iteration": iteration,
-                "variance": variance if variance is not None else "",
-                "mse": mse if mse is not None else "",
+                # unfilled metric fields serialize as the default 0, exactly
+                # like the reference's PerformanceData (common.py:77-95) —
+                # pandas-based reference tooling reads 0, not NaN
+                "variance": variance if variance is not None else 0,
+                "mse": mse if mse is not None else 0,
             }
         )
 
