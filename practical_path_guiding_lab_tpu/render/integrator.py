@@ -194,13 +194,15 @@ class PathGuidingIntegrator:
                 pt_mod.plan_update(key, counts)
                 if sched and bool(ovf):
                     # live lanes dropped (rare): truncated transport —
-                    # discard and re-run this pass at full width
+                    # discard and re-run this pass at full width, then
+                    # refreeze the plan from the grown counts
                     sched = ()
                     L, px, py, rays, recs, counts, _ = self._jit_wave(
                         self.scene, self.dev_tree, seed0, cumm_spp,
                         self.iteration, record=record, spp=spp, schedule=(),
                     )
                     pt_mod.plan_update(key, counts)
+                    pt_mod.plan_overflowed(key, n_total, self.scene.max_depth)
                 # shrunk bounces wrote partial record rows: the splat can
                 # statically slice each row to its width (~40% fewer lanes)
                 row_widths = pt_mod.schedule_row_widths(

@@ -448,6 +448,16 @@ def render_pass(scene, seed0, pass_index, jitter=True, spp=1, schedule=None):
 # --------------------------------------------------------------------- #
 
 _PLAN_COUNTS: dict = {}
+# key -> frozen schedule. A schedule is computed ONCE per key (from the
+# full-width probe pass's live counts) and then FROZEN: the running-max
+# counts otherwise cross pow2 tier boundaries every few passes, and every
+# tier change is a fresh XLA program — measured 60-130 s compile stalls
+# mid-protocol on the remote-compile backend (round-3 verdict item 4, the
+# 69.9 s guided_final s_max). Frozen pow2 tiers also repeat bitwise across
+# runs, so the persistent compilation cache turns the per-run compile into
+# a once-ever compile. Overflow (rare) recomputes from the grown counts
+# and refreezes — tiers only widen, so refreezes are bounded.
+_PLAN_FROZEN: dict = {}
 
 
 def cascade_enabled() -> bool:
@@ -503,11 +513,15 @@ def schedule_row_widths(sched, n_total: int, max_depth: int):
 
 def plan_for(key, n_total: int, max_depth: int):
     """Schedule for this pass: () (full-width probe) on first sight of
-    ``key``, a shrink schedule afterwards."""
+    ``key``, then the FROZEN shrink schedule computed from the probe."""
+    if key in _PLAN_FROZEN:
+        return _PLAN_FROZEN[key]
     counts = _PLAN_COUNTS.get(key)
     if counts is None:
         return ()
-    return plan_schedule(counts, n_total, max_depth) or ()
+    sched = plan_schedule(counts, n_total, max_depth) or ()
+    _PLAN_FROZEN[key] = sched
+    return sched
 
 
 def plan_update(key, counts) -> None:
@@ -516,6 +530,15 @@ def plan_update(key, counts) -> None:
     c = np.asarray(counts)
     prev = _PLAN_COUNTS.get(key)
     _PLAN_COUNTS[key] = c if prev is None else np.maximum(prev, c)
+
+
+def plan_overflowed(key, n_total: int, max_depth: int) -> None:
+    """An overflow fired under the frozen schedule: recompute from the
+    grown running-max counts and refreeze (tiers only ever widen)."""
+    _PLAN_FROZEN.pop(key, None)
+    counts = _PLAN_COUNTS.get(key)
+    if counts is not None:
+        _PLAN_FROZEN[key] = plan_schedule(counts, n_total, max_depth) or ()
 
 
 _pass_jit = None
@@ -547,11 +570,13 @@ def render_pass_auto(scene, seed0, pass_index, jitter=True, spp=1):
     plan_update(key, counts)
     if sched and bool(ovf):
         # a live lane was dropped: the cascade result is truncated
-        # transport — discard and re-run this pass at full width
+        # transport — discard and re-run this pass at full width, then
+        # refreeze the plan from the grown counts (tiers only widen)
         L, px, py, rays, counts, _ = _pass_jit(
             scene, seed0, pass_index, jitter=jitter, spp=spp, schedule=()
         )
         plan_update(key, counts)
+        plan_overflowed(key, n_total, scene.max_depth)
     return L, px, py, rays
 
 
