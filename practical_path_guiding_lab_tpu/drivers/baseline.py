@@ -41,39 +41,57 @@ def render_baseline(cfg: BaselineConfig):
     perf = PerformanceData()
     mse_perf = PerformanceData()
 
-    acc = None
+    import jax
+    import jax.numpy as jnp
+
+    h_px, w_px = scene.camera.height, scene.camera.width
+    acc = jnp.zeros((h_px, w_px, 3), jnp.float32)
+    acc_u = jnp.zeros((h_px, w_px, 3), jnp.float32)  # unused second slot
+    rays_acc = jnp.zeros((), jnp.float32)
     spp = 0
     cumm_time = 0.0
-    total_rays = 0.0
+    # deferred per-chunk metric rows: (time, spp, var, var_gt, mse) with
+    # the scalars left on device; ONE stacked fetch at the end converts
+    # them (the old loop paid ~6 dispatches + 4 blocking round trips per
+    # chunk — the reference computes its chunk metrics on device too,
+    # path_tracing_render.py:60-98)
+    pending = []
 
     def do_chunk(chunk_spp, seed_base):
-        nonlocal acc, spp, cumm_time, total_rays
+        nonlocal acc, acc_u, rays_acc, spp, cumm_time
         t0 = time.perf_counter()
         # whole chunk in ONE wavefront dispatch (bitwise-equal to the
-        # sequential 1-spp passes via rng.spp_fold; amortizes fixed
-        # per-dispatch cost — measured +30% Mrays/s at 4 spp). The
-        # returned img is the chunk AVERAGE, so weight it back to
-        # per-sample units for the running sum.
-        img, rays = integ.render_pass(cfg.initial_seed, seed_base,
-                                      spp=chunk_spp)
-        total_rays += rays
-        # device-side accumulation; host transfer deferred to save time
-        # (np.asarray per chunk moved 11 MB over the tunnel every chunk)
-        w_img = img * chunk_spp
-        acc = w_img if acc is None else acc + w_img
-        spp += chunk_spp
-        # scalar fetch syncs the async backend before the clock stops
-        float(acc[0, 0, 0])
-        cumm_time += time.perf_counter() - t0
-        variance = integ.computeVariance(spp)
-        var_gt = integ.computeVariance(spp, gt) if gt is not None else None
-        mse = integ.computeMSE(spp, gt) if gt is not None else None
-        perf.append(time=cumm_time, spp=spp, cumm_spp=spp, variance=var_gt if var_gt is not None else variance)
-        mse_perf.append(time=cumm_time, spp=spp, cumm_spp=spp, mse=mse)
-        print_bold_underline(
-            f"spp {spp} t {cumm_time:.1f}s var {variance:.3e} mse "
-            f"{mse if mse is not None else float('nan'):.3e}"
+        # sequential 1-spp passes via rng.spp_fold); render + moments +
+        # develop + acc update + metrics = two dispatches, no fetches
+        out = integ.render_pass_driver(
+            cfg.initial_seed, seed_base, spp=chunk_spp,
+            acc_w=acc, acc_u=acc_u, w_w=chunk_spp, w_u=0.0,
+            spp_total=spp + chunk_spp, rays_acc=rays_acc,
+            ground_truth=gt,
         )
+        acc, acc_u, rays_acc = out["acc_w"], out["acc_u"], out["rays_acc"]
+        # one blocking read per chunk (the deferred cascade-overflow flag
+        # doubles as the sync); an overflowed chunk contributed exactly
+        # nothing (device-gated) — re-run it at full width
+        if out["ovf"] is not None and bool(np.asarray(out["ovf"])):
+            out = integ.render_pass_driver(
+                cfg.initial_seed, seed_base, spp=chunk_spp,
+                acc_w=acc, acc_u=acc_u, w_w=chunk_spp, w_u=0.0,
+                spp_total=spp + chunk_spp, rays_acc=rays_acc,
+                ground_truth=gt, force_full=True,
+            )
+            acc, acc_u, rays_acc = (
+                out["acc_w"], out["acc_u"], out["rays_acc"]
+            )
+            jax.block_until_ready(out["mse"])
+        elif out["ovf"] is None:
+            jax.block_until_ready(out["mse"])
+        spp += chunk_spp
+        cumm_time += time.perf_counter() - t0
+        pending.append(
+            (cumm_time, spp, out["var"], out["var_gt"], out["mse"])
+        )
+        print_bold_underline(f"spp {spp} t {cumm_time:.1f}s")
 
     if cfg.use_time_budget:
         while cumm_time < cfg.time_budget:
@@ -82,6 +100,20 @@ def render_baseline(cfg: BaselineConfig):
         n_chunks = math.ceil(cfg.target_spp / cfg.chunk_spp)
         for c in range(n_chunks):
             do_chunk(min(cfg.chunk_spp, cfg.target_spp - spp), spp)
+
+    total_rays = float(rays_acc)
+    flat = np.asarray(
+        jnp.stack([s for row in pending for s in row[2:5]])
+    ).reshape(-1, 3)
+    for (t_row, spp_row, *_), (v, vg, m) in zip(pending, flat):
+        perf.append(
+            time=t_row, spp=spp_row, cumm_spp=spp_row,
+            variance=float(vg) if gt is not None else float(v),
+        )
+        mse_perf.append(
+            time=t_row, spp=spp_row, cumm_spp=spp_row,
+            mse=float(m) if gt is not None else None,
+        )
 
     image = np.asarray(acc) / spp
     if cfg.save_outputs:

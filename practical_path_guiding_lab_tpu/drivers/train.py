@@ -249,41 +249,110 @@ def train(cfg: TrainConfig):
         # slice, main.py:218). PPG_FINAL_DISPATCH restores wider ones.
         final_dispatch = max(1, knobs.get_int("PPG_FINAL_DISPATCH"))
 
+        # Fused per-pass path (single-device): one render dispatch + one
+        # post dispatch per sub-pass, metric scalars deferred on device
+        # and fetched once per iteration (same rows, same timestamps
+        # modulo the removed per-pass round trips — the reference's
+        # metrics are device reductions too, main.py:208-265). Mesh /
+        # stepped modes keep the legacy per-call loop.
+        use_fused = integrator.mesh is None and not integrator._stepped
+        if use_fused:
+            import jax as _jax
+            import jax.numpy as _jnp
+
+            h_px = scene.camera.height
+            w_px = scene.camera.width
+            acc_w = _jnp.zeros((h_px, w_px, 3), _jnp.float32)
+            acc_u = _jnp.zeros((h_px, w_px, 3), _jnp.float32)
+            rays_acc = _jnp.zeros((), _jnp.float32)
+        pending_rows = []  # (elapse, image_spp, cumm_spp, var, var_gt, mse)
+
         for pass_i in range(iter_pass):
             curr_pass_spp = min(spp_per_pass, iter_spp - iter_spp_count)
             d = final_dispatch if is_final else curr_pass_spp
-            img = None
-            rays = 0.0
-            done = 0
-            while done < curr_pass_spp:
-                k = min(d, curr_pass_spp - done)
-                im, r = integrator.render_pass(
-                    cfg.initial_seed, cumm_spp + done, spp=k
+            if use_fused:
+                done = 0
+                outs = []
+                while done < curr_pass_spp:
+                    k = min(d, curr_pass_spp - done)
+                    out = integrator.render_pass_driver(
+                        cfg.initial_seed, cumm_spp + done, spp=k,
+                        acc_w=acc_w, acc_u=acc_u,
+                        w_w=k / iter_spp,
+                        w_u=(k / curr_pass_spp) if is_final else 0.0,
+                        spp_total=image_spp + done + k,
+                        rays_acc=rays_acc, ground_truth=gt,
+                    )
+                    acc_w = out["acc_w"]
+                    acc_u = out["acc_u"]
+                    rays_acc = out["rays_acc"]
+                    outs.append((done, k, out))
+                    done += k
+                # ONE blocking read per pass (deferred cascade-overflow
+                # flags double as the sync): an overflowed sub-dispatch
+                # contributed exactly nothing (device-gated), so re-run
+                # it at full width and use the re-run's metrics
+                flagged = [
+                    (off, k, o) for off, k, o in outs if o["ovf"] is not None
+                ]
+                if flagged:
+                    flags = np.asarray(
+                        _jnp.stack([o["ovf"] for _, _, o in flagged])
+                    )
+                else:
+                    flags = np.zeros(0, bool)
+                    _jax.block_until_ready(out["mse"])
+                reran = False
+                for (off, k, _), bad in zip(flagged, flags):
+                    if bad:
+                        out = integrator.render_pass_driver(
+                            cfg.initial_seed, cumm_spp + off, spp=k,
+                            acc_w=acc_w, acc_u=acc_u,
+                            w_w=k / iter_spp,
+                            w_u=(k / curr_pass_spp) if is_final else 0.0,
+                            spp_total=image_spp + curr_pass_spp,
+                            rays_acc=rays_acc, ground_truth=gt,
+                            force_full=True,
+                        )
+                        acc_w = out["acc_w"]
+                        acc_u = out["acc_u"]
+                        rays_acc = out["rays_acc"]
+                        reran = True
+                if reran:
+                    _jax.block_until_ready(out["mse"])
+                curr_iter_image = acc_w
+                if is_final:
+                    curr_iter_image_acc = acc_u
+            else:
+                img = None
+                rays = 0.0
+                done = 0
+                while done < curr_pass_spp:
+                    k = min(d, curr_pass_spp - done)
+                    im, r = integrator.render_pass(
+                        cfg.initial_seed, cumm_spp + done, spp=k
+                    )
+                    w_im = im * (k / curr_pass_spp)
+                    img = w_im if img is None else img + w_im
+                    rays += r
+                    done += k
+                total_rays += rays
+                w_img = img * (curr_pass_spp / iter_spp)
+                curr_iter_image = (
+                    w_img if curr_iter_image is None
+                    else curr_iter_image + w_img
                 )
-                w_im = im * (k / curr_pass_spp)
-                img = w_im if img is None else img + w_im
-                rays += r
-                done += k
-            total_rays += rays
-            # accumulate ON DEVICE: the old per-pass np.asarray(img) moved
-            # the full 11 MB film to the host EVERY pass (~5 s/pass over
-            # the tunnel, ~3x the render itself); host conversion now
-            # happens only at write/save points
-            w_img = img * (curr_pass_spp / iter_spp)
-            curr_iter_image = (
-                w_img if curr_iter_image is None else curr_iter_image + w_img
-            )
-            if is_final:
-                curr_iter_image_acc = (
-                    img
-                    if curr_iter_image_acc is None
-                    else curr_iter_image_acc + img
-                )
-            # scalar fetch: forces the async backend to finish the pass so
-            # per-pass wall-clock attribution stays honest
-            float(curr_iter_image[0, 0, 0])
-            if is_final:
-                float(curr_iter_image_acc[0, 0, 0])
+                if is_final:
+                    curr_iter_image_acc = (
+                        img
+                        if curr_iter_image_acc is None
+                        else curr_iter_image_acc + img
+                    )
+                # scalar fetch: forces the async backend to finish the
+                # pass so per-pass wall-clock attribution stays honest
+                float(curr_iter_image[0, 0, 0])
+                if is_final:
+                    float(curr_iter_image_acc[0, 0, 0])
 
             image_spp += curr_pass_spp
             iter_spp_count += curr_pass_spp
@@ -298,23 +367,33 @@ def train(cfg: TrainConfig):
             )
 
             if cfg.record_in_iteration:
-                variance = integrator.computeVariance(image_spp)
                 elapse = (time.perf_counter() - t_iter0) + cumm_time
-                records["variance_inIter"].append(
-                    time=elapse, spp=image_spp, cumm_spp=cumm_spp,
-                    iteration=iteration, variance=variance,
-                )
-                if gt is not None:
-                    records["variance_groundTruth_inIter"].append(
-                        time=elapse, spp=image_spp, cumm_spp=cumm_spp,
-                        iteration=iteration,
-                        variance=integrator.computeVariance(image_spp, gt),
+                if use_fused:
+                    pending_rows.append(
+                        (
+                            elapse, image_spp, cumm_spp,
+                            out["var"], out["var_gt"], out["mse"],
+                        )
                     )
-                    records["mse_groundTruth_inIter"].append(
+                else:
+                    variance = integrator.computeVariance(image_spp)
+                    records["variance_inIter"].append(
                         time=elapse, spp=image_spp, cumm_spp=cumm_spp,
-                        iteration=iteration,
-                        mse=integrator.computeMSE(image_spp, gt),
+                        iteration=iteration, variance=variance,
                     )
+                    if gt is not None:
+                        records["variance_groundTruth_inIter"].append(
+                            time=elapse, spp=image_spp, cumm_spp=cumm_spp,
+                            iteration=iteration,
+                            variance=integrator.computeVariance(
+                                image_spp, gt
+                            ),
+                        )
+                        records["mse_groundTruth_inIter"].append(
+                            time=elapse, spp=image_spp, cumm_spp=cumm_spp,
+                            iteration=iteration,
+                            mse=integrator.computeMSE(image_spp, gt),
+                        )
 
             if is_final and cumm_spp in possible_cumm and cfg.save_outputs:
                 # power-of-two cumulative-spp snapshots (main.py:267-278)
@@ -328,6 +407,36 @@ def train(cfg: TrainConfig):
                 base = FileNameManager.generateImageFileName(iteration, image_spp)
                 image_io.write_png(f"{base}_cumm_spp-{cumm_spp}.png", blend)
                 exr_io.write(f"{base}_cumm_spp-{cumm_spp}.exr", blend)
+
+        if use_fused:
+            # one stacked fetch converts every deferred per-pass metric
+            # scalar of the iteration (the old path paid 3 round trips
+            # per pass); row values/timestamps are unchanged
+            total_rays += float(rays_acc)
+            if pending_rows:
+                import jax.numpy as _jnp
+
+                flat = np.asarray(
+                    _jnp.stack(
+                        [s for row in pending_rows for s in row[3:6]]
+                    )
+                ).reshape(-1, 3)
+                for (elapse_r, spp_r, cumm_r, *_), (v, vg, m) in zip(
+                    pending_rows, flat
+                ):
+                    records["variance_inIter"].append(
+                        time=elapse_r, spp=spp_r, cumm_spp=cumm_r,
+                        iteration=iteration, variance=float(v),
+                    )
+                    if gt is not None:
+                        records["variance_groundTruth_inIter"].append(
+                            time=elapse_r, spp=spp_r, cumm_spp=cumm_r,
+                            iteration=iteration, variance=float(vg),
+                        )
+                        records["mse_groundTruth_inIter"].append(
+                            time=elapse_r, spp=spp_r, cumm_spp=cumm_r,
+                            iteration=iteration, mse=float(m),
+                        )
 
         # two-iteration blend after training stopped (main.py:287-291)
         if is_final and not train_tree and prev_iter_image is not None:

@@ -517,7 +517,8 @@ def splat_filter_mode() -> str:
 
 
 def process_and_splat(tree_current: sd.SDTreeDevice, recs: PathRecords, L_final,
-                      seed0=0, pass_index=0, lane_offset=0, row_widths=None):
+                      seed0=0, pass_index=0, lane_offset=0, row_widths=None,
+                      gate=None):
     """Reconstruct per-vertex incident radiance and splat into the current
     tree (reference processPathData + scatterDataIntoSDTree + addDataPropagate).
     Returns the updated tree. ``L_final`` must be in FILM order (the record
@@ -611,6 +612,12 @@ def process_and_splat(tree_current: sd.SDTreeDevice, recs: PathRecords, L_final,
             good_pdf, nee_lum / jnp.maximum(wo_pdf, 1e-30), 0.0
         )
 
+    if gate is not None:
+        # async-overflow gating (drivers): a cascade-overflowed pass must
+        # contribute EXACTLY nothing (the driver re-runs it full-width
+        # once it reads the deferred flag); mask=False rows drop out of
+        # every scatter, so the tree is bit-identical to never splatting
+        mask = mask & (gate > 0)
     if flat_ids is None:
         flat = lambda a: a.reshape((n * d,) + a.shape[2:])
         n_verts = n * d

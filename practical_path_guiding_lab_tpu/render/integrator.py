@@ -225,6 +225,133 @@ class PathGuidingIntegrator:
         return img, float(rays)
 
     # ------------------------------------------------------------------ #
+    # Fused driver post-pass: moments + develop + image accumulation +
+    # all three CSV metrics in ONE dispatch, everything staying on device.
+    # The old driver loop issued ~6 dispatches and ~4 blocking fetches per
+    # pass (develop, moments, acc update, scalar sync, three metric
+    # programs) — ~0.9 s/spp of tunnel round trips on the remote backend.
+    # The reference's per-pass loop (main.py:208-265) computes its metrics
+    # as device reductions too.
+    # ------------------------------------------------------------------ #
+
+    _POST_JITS: dict = {}
+
+    def _post_jit_for(self, has_gt: bool):
+        key = (
+            self.scene.camera.width, self.scene.camera.height,
+            self.scene.rfilter, has_gt,
+        )
+        cache = PathGuidingIntegrator._POST_JITS
+        if key not in cache:
+            w, h, rf, _ = key
+
+            def fn(L, px, py, sum_l, sum_l2, acc_w, acc_u, w_w, w_u,
+                   spp_total, rays_acc, rays, gate, gt=None):
+                # async-overflow gating: an overflowed pass contributes
+                # nothing (driver re-runs it on reading the deferred flag)
+                L = L * gate
+                rays = rays * gate
+                sum_l, sum_l2 = var_mod.accumulate_moments_aligned(
+                    sum_l, sum_l2, L
+                )
+                img, wgt = film_mod.splat_filtered_aligned(w, h, px, py, L, rf)
+                img = film_mod.develop(img, wgt)
+                acc_w = acc_w + img * w_w
+                acc_u = acc_u + img * w_u
+                var_self, var_gt, mse = var_mod.metrics_all(
+                    sum_l, sum_l2, spp_total, gt
+                )
+                return (
+                    sum_l, sum_l2, img, acc_w, acc_u,
+                    var_self, var_gt, mse, rays_acc + rays,
+                )
+
+            cache[key] = jax.jit(
+                fn, donate_argnums=(3, 4, 5, 6, 10)
+            )
+        return cache[key]
+
+    def render_pass_driver(
+        self, seed0, cumm_spp, spp, acc_w, acc_u, w_w, w_u,
+        spp_total, rays_acc, ground_truth=None, force_full=False,
+    ):
+        """One driver pass with ZERO host round trips: render dispatch +
+        (train) gated splat dispatch + one fused post dispatch, all async.
+        The cascade overflow flag is returned as a DEVICE scalar ('ovf',
+        None when no shrink schedule ran); an overflowed pass contributes
+        exactly nothing (splat and post are gated by 1-ovf on device), so
+        the caller re-invokes with ``force_full=True`` after reading the
+        deferred flag — the re-run adds the true contribution.
+
+        Returns a dict of DEVICE values: img, acc_w, acc_u (weighted /
+        unweighted running images, ``acc += img * w``), var/var_gt/mse
+        scalars for the pass's CSV row, rays_acc, ovf. Caller must block
+        (e.g. on the stacked ovf flags, or ['mse']) before timestamping
+        the row."""
+        record = not self.is_final
+        row_widths = None
+        ovf = None
+        gate = jnp.float32(1.0)
+        if self.mesh is not None or self._stepped:
+            raise RuntimeError(
+                "render_pass_driver: mesh/stepped modes use render_pass"
+            )
+        if pt_mod.cascade_enabled():
+            n_total = self.scene.camera.width * self.scene.camera.height * spp
+            key = (
+                id(self.scene), n_total, "guided", record,
+                self.iteration > 1,
+            )
+            sched = () if force_full else pt_mod.plan_for(
+                key, n_total, self.scene.max_depth
+            )
+            L, px, py, rays, recs, counts, ovf_d = self._jit_wave(
+                self.scene, self.dev_tree, seed0, cumm_spp,
+                self.iteration, record=record, spp=spp, schedule=sched,
+            )
+            if not sched:
+                # full width cannot overflow; its counts seed/refresh the
+                # plan (the only blocking fetch, once per key + re-runs)
+                pt_mod.plan_update(key, counts)
+                if force_full:
+                    pt_mod.plan_overflowed(key, n_total, self.scene.max_depth)
+            else:
+                ovf = ovf_d
+                gate = 1.0 - ovf_d.astype(jnp.float32)
+            row_widths = pt_mod.schedule_row_widths(
+                sched, n_total, self.scene.max_depth
+            )
+        else:
+            L, px, py, rays, recs = self._jit_wave(
+                self.scene, self.dev_tree, seed0, cumm_spp,
+                self.iteration, record=record, spp=spp,
+            )
+        if record:
+            self.dev_tree = _splat_jit(
+                self.dev_tree, recs, L, seed0, cumm_spp,
+                row_widths=row_widths, gate=gate,
+            )
+        gt = (
+            self._gt_device(ground_truth) if ground_truth is not None else None
+        )
+        post = self._post_jit_for(gt is not None)
+        args = (
+            L, px, py, self.sum_l, self.sum_l2, acc_w, acc_u,
+            jnp.float32(w_w), jnp.float32(w_u), jnp.float32(spp_total),
+            rays_acc, rays, gate,
+        )
+        out = post(*args, gt) if gt is not None else post(*args)
+        (
+            self.sum_l, self.sum_l2, img, acc_w, acc_u,
+            var_self, var_gt, mse, rays_acc,
+        ) = out
+        return {
+            "img": img, "acc_w": acc_w, "acc_u": acc_u,
+            "var": var_self, "var_gt": var_gt, "mse": mse,
+            "rays_acc": rays_acc, "ovf": ovf,
+        }
+
+    # ------------------------------------------------------------------ #
 
     def _gt_device(self, ground_truth):
         """Device-resident ground truth, cached by identity: the drivers
@@ -382,3 +509,41 @@ class PathTracingIntegrator:
     _gt_device = PathGuidingIntegrator._gt_device
     computeVariance = PathGuidingIntegrator.computeVariance
     computeMSE = PathGuidingIntegrator.computeMSE
+    _post_jit_for = PathGuidingIntegrator._post_jit_for
+
+    def render_pass_driver(
+        self, seed0, pass_index, spp, acc_w, acc_u, w_w, w_u,
+        spp_total, rays_acc, ground_truth=None, force_full=False,
+    ):
+        """Fused driver chunk for the unguided baseline: render dispatch +
+        one post dispatch (moments + develop + acc + metrics), all values
+        on device, overflow deferred — see
+        PathGuidingIntegrator.render_pass_driver."""
+        if self._stepped:
+            raise RuntimeError("render_pass_driver: stepped mode unsupported")
+        L, px, py, rays, ovf = pt_mod.render_pass_async(
+            self.scene, seed0, pass_index, spp=spp, force_full=force_full
+        )
+        gate = (
+            jnp.float32(1.0) if ovf is None
+            else 1.0 - ovf.astype(jnp.float32)
+        )
+        gt = (
+            self._gt_device(ground_truth) if ground_truth is not None else None
+        )
+        post = self._post_jit_for(gt is not None)
+        args = (
+            L, px, py, self.sum_l, self.sum_l2, acc_w, acc_u,
+            jnp.float32(w_w), jnp.float32(w_u), jnp.float32(spp_total),
+            rays_acc, rays, gate,
+        )
+        out = post(*args, gt) if gt is not None else post(*args)
+        (
+            self.sum_l, self.sum_l2, img, acc_w, acc_u,
+            var_self, var_gt, mse, rays_acc,
+        ) = out
+        return {
+            "img": img, "acc_w": acc_w, "acc_u": acc_u,
+            "var": var_self, "var_gt": var_gt, "mse": mse,
+            "rays_acc": rays_acc, "ovf": ovf,
+        }

@@ -580,6 +580,37 @@ def render_pass_auto(scene, seed0, pass_index, jitter=True, spp=1):
     return L, px, py, rays
 
 
+def render_pass_async(scene, seed0, pass_index, jitter=True, spp=1,
+                      force_full=False):
+    """Non-blocking render_pass_auto for the fused drivers: returns
+    (L, px, py, rays, ovf) where ovf is a DEVICE bool (None when no
+    shrink schedule ran — full width cannot overflow). The caller gates
+    the pass's contribution by (1-ovf) on device, defers the flag fetch,
+    and re-invokes with ``force_full=True`` on overflow."""
+    global _pass_jit
+    if _pass_jit is None:
+        _pass_jit = jax.jit(
+            render_pass, static_argnames=("jitter", "spp", "schedule")
+        )
+    if not cascade_enabled():
+        L, px, py, rays = _pass_jit(
+            scene, seed0, pass_index, jitter=jitter, spp=spp
+        )
+        return L, px, py, rays, None
+    n_total = scene.camera.width * scene.camera.height * spp
+    key = (id(scene), n_total, "pt")
+    sched = () if force_full else plan_for(key, n_total, scene.max_depth)
+    L, px, py, rays, counts, ovf = _pass_jit(
+        scene, seed0, pass_index, jitter=jitter, spp=spp, schedule=sched
+    )
+    if not sched:
+        plan_update(key, counts)  # blocking, once per key + re-runs
+        if force_full:
+            plan_overflowed(key, n_total, scene.max_depth)
+        return L, px, py, rays, None
+    return L, px, py, rays, ovf
+
+
 _film_prologue_jit = None
 
 

@@ -57,6 +57,22 @@ def compute_variance_self(sum_l, sum_l2, spp):
     return jnp.where(spp > 1.0, var / jnp.maximum(spp - 1.0, 1.0), var)
 
 
+def metrics_all(sum_l, sum_l2, spp, gt):
+    """All three per-pass CSV metrics as device scalars in one traced
+    computation (no separate dispatches): (sample variance vs self,
+    population variance vs GT, MSE vs GT). ``gt`` may be None (no ground
+    truth): the GT metrics come back as 0-scalars. Intended for the fused
+    driver post-pass program — the reference computes these per pass on
+    device too (main.py:208-265)."""
+    var_self = compute_variance_self(sum_l, sum_l2, spp)
+    if gt is None:
+        z = jnp.zeros(())
+        return var_self, z, z
+    var_gt = compute_variance_gt(sum_l, sum_l2, spp, gt)
+    mse = compute_mse(sum_l, spp, gt)
+    return var_self, var_gt, mse
+
+
 @jax.jit
 def compute_variance_gt(sum_l, sum_l2, spp, gt):
     """Population variance against ground truth — reference-exact
