@@ -101,6 +101,44 @@ def bench_guided(scene, n_timed=6):
     return train, final
 
 
+def bench_guided_deep(scene, n_timed=6):
+    """Guided passes against a PRODUCTION-SCALE saved tree (a committed
+    late-iteration npz — kd-C=2500 veach-ajar iteration 5, 46.9k kd /
+    7.43M quad nodes): the small-tree guided numbers miss the
+    gather-table cost at trained scale (round-3 verdict item 5). Returns
+    None when no saved tree is available."""
+    from pathlib import Path
+
+    from practical_path_guiding_lab_tpu import knobs
+    from practical_path_guiding_lab_tpu.render.integrator import (
+        PathGuidingIntegrator,
+    )
+
+    tree_path = knobs.get("PPG_BENCH_DEEP_TREE")
+    if not Path(tree_path).exists():
+        return None
+    integ = PathGuidingIntegrator(scene)
+    integ.setup()
+    integ.loadSDTreeFromFile(tree_path)
+
+    out = {}
+    for label, is_final in (("train", False), ("final", True)):
+        integ.setIteration(5, is_final)
+        spp = 0 if is_final else 1000
+        _, rays = integ.render_pass(0, spp)  # warm/compile
+        spp += 1
+        ts = []
+        for _ in range(n_timed):
+            t0 = time.perf_counter()
+            integ.render_pass(0, spp)
+            spp += 1
+            ts.append(time.perf_counter() - t0)
+        out[label] = {**_stats(ts), "mrays_median": round(
+            rays / float(np.median(ts)) / 1e6, 3)}
+    integ.free_device_tree()
+    return out
+
+
 def main():
     from practical_path_guiding_lab_tpu.scene import load_file
     from practical_path_guiding_lab_tpu.scene.scene import compile_scene
@@ -114,24 +152,28 @@ def main():
     pt, _ = bench_pt(scene)
     pt4, _ = bench_pt(scene, n_passes=8, spp=4)
     train, final = bench_guided(scene)
+    deep = bench_guided_deep(scene)
 
-    print(
-        json.dumps(
-            {
-                "metric": "veach-ajar Mrays/sec/chip (wavefront PT, 1280x720)",
-                "value": pt["mrays_median"],
-                "unit": "Mrays/s",
-                "vs_baseline": round(pt["mrays_median"] / 100.0, 4),
-                "pt": pt,
-                "pt_4spp_dispatch": pt4,
-                "guided_train": train,
-                "guided_final": final,
-                "guided_train_vs_pt_s": round(
-                    train["s_median"] / pt["s_median"], 3
-                ),
-            }
+    out = {
+        "metric": "veach-ajar Mrays/sec/chip (wavefront PT, 1280x720)",
+        "value": pt["mrays_median"],
+        "unit": "Mrays/s",
+        "vs_baseline": round(pt["mrays_median"] / 100.0, 4),
+        "pt": pt,
+        "pt_4spp_dispatch": pt4,
+        "guided_train": train,
+        "guided_final": final,
+        "guided_train_vs_pt_s": round(
+            train["s_median"] / pt["s_median"], 3
+        ),
+    }
+    if deep is not None:
+        out["guided_deep_train"] = deep["train"]
+        out["guided_deep_final"] = deep["final"]
+        out["guided_deep_train_vs_pt_s"] = round(
+            deep["train"]["s_median"] / pt["s_median"], 3
         )
-    )
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
