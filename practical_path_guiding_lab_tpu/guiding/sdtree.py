@@ -118,6 +118,9 @@ class SDTreeDevice:
     # filtering, Mueller's practical improvement): derivable from depth
     # alone since axis = depth % 3
     kd_ext: jnp.ndarray = None        # (NK, 4) float32
+    # kd leaf -> root slot (tiny; replaces the splat's root_slot chain so
+    # the (NQ,)-sized root_slot can be dropped from slim mirrors)
+    kd_slot_dev: jnp.ndarray = None   # (NK,) int32
     kd_max_depth: int = struct.field(pytree_node=False, default=20)
     quad_max_depth: int = struct.field(pytree_node=False, default=20)
     grid_l: int = struct.field(pytree_node=False, default=GRID_L)
@@ -494,11 +497,7 @@ def splat(tree: SDTreeDevice, p, xy, value, weight, nee_xy=None, nee_value=None,
                 lambda _: kd_lookup_grid(tree, p)[:2],
                 lambda _: (
                     jnp.maximum(cap_kd, 0),
-                    tree.root_slot[
-                        jnp.maximum(
-                            tree.kd_quad_root[jnp.maximum(cap_kd, 0)], 0
-                        )
-                    ],
+                    tree.kd_slot_dev[jnp.maximum(cap_kd, 0)],
                 ),
                 None,
             )
@@ -602,6 +601,7 @@ def _interleave2(v, g):
 def _derive_device_tables(
     q_child, q_irr, q_depth, grid_node, leaf_cdf, leaf_node, leaf_lo,
     leaf_depth, root_leaf_off, slot_row, n_slots, *, sub_cap, sub_l,
+    want_leaf_geom=True,
 ):
     """Device-side derivation of the five LARGE gather-diet tables
     (q_pack, leaf_geom, leaf_geomp, grid_pl, sub_pl) from the minimal
@@ -626,9 +626,11 @@ def _derive_device_tables(
     out.update(
         _derive_leaf_tables(
             leaf_cdf, leaf_node, leaf_lo, leaf_depth, root_leaf_off,
-            n_slots,
+            n_slots, want_leaf_geom=want_leaf_geom,
         )
     )
+    if not want_leaf_geom:
+        out["leaf_geom"] = None
     out.update(
         _derive_grid_sub(
             q_child, q_irr, q_depth, grid_node, slot_row, n_slots,
@@ -659,9 +661,10 @@ def _derive_qpack(q_child, q_irr, q_depth):
     return dict(q_pack=q_pack)
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("want_leaf_geom",))
 def _derive_leaf_tables(
-    leaf_cdf, leaf_node, leaf_lo, leaf_depth, root_leaf_off, n_slots
+    leaf_cdf, leaf_node, leaf_lo, leaf_depth, root_leaf_off, n_slots,
+    want_leaf_geom=True,
 ):
     f32 = jnp.float32
     nq_cap = leaf_cdf.shape[0]
@@ -682,9 +685,12 @@ def _derive_leaf_tables(
         * f32(INV_FOUR_PI)
     )
     node_col = leaf_node.astype(f32)
-    leaf_geom = jnp.stack(
-        [leaf_lo[:, 0], leaf_lo[:, 1], sizes, pdf_col, node_col], axis=-1
-    )
+    leaf_geom = None
+    if want_leaf_geom:
+        leaf_geom = jnp.stack(
+            [leaf_lo[:, 0], leaf_lo[:, 1], sizes, pdf_col, node_col],
+            axis=-1,
+        )
 
     # bit-packed variant: [u32(lo_x_q | depth<<20), u32(lo_y_q), pdf, node].
     # Bit 30 is ALWAYS set on both words: the payload only spans bits
@@ -701,6 +707,8 @@ def _derive_leaf_tables(
     w0 = jax.lax.bitcast_convert_type(hi_bit | lo_q[:, 0] | (d_q << 20), f32)
     w1 = jax.lax.bitcast_convert_type(hi_bit | lo_q[:, 1], f32)
     leaf_geomp = jnp.stack([w0, w1, pdf_col, node_col], axis=-1)
+    if leaf_geom is None:
+        return dict(leaf_geomp=leaf_geomp)
     return dict(leaf_geom=leaf_geom, leaf_geomp=leaf_geomp)
 
 
@@ -1165,12 +1173,18 @@ class SDTree:
         leaf_lo_d = jnp.asarray(tables["leaf_lo"])
         leaf_depth_d = jnp.asarray(tables["leaf_depth"])
         root_leaf_off_d = jnp.asarray(tables["root_leaf_off"])
+        slim_knob = knobs.get("PPG_SLIM_MIRROR")
+        slim = derive and USE_FAST_TREE and (
+            slim_knob == "1"
+            or (slim_knob == "auto" and self.q_count >= (1 << 21))
+        )
         if derive:
             big = _derive_device_tables(
                 q_child_d, q_irr_d, q_depth_d, grid_node_d, leaf_cdf_d,
                 leaf_node_d, leaf_lo_d, leaf_depth_d, root_leaf_off_d,
                 slot_row_d, jnp.int32(fast2["n_slots"]),
                 sub_cap=fast2["sub_cap"], sub_l=SUB_L,
+                want_leaf_geom=not slim,
             )
         else:
             big = {
@@ -1178,39 +1192,57 @@ class SDTree:
                 for k in ("q_pack", "leaf_geom", "leaf_geomp", "grid_pl",
                           "sub_pl")
             }
+        # slim production mirror (HBM diet, round-4 verdict item 2): every
+        # table below is consumed ONLY by the descent oracles / hemisphere
+        # oracle / legacy fast paths / device-derive inputs — the
+        # production trace+splat run entirely on kd_grid_f / slot_row /
+        # hemi / alias_ab / leaf_geomp / grid_pl / sub_pl / q_pack /
+        # kd_slot_dev / accumulators. Dropping them saves ~1.3 GB at a
+        # 16.7M-node kd-C=2000 veach-ajar tree (q_child 268 MB, leaf_geom
+        # 335 MB, leaf_lo 134 MB, grid_node 134 MB, ...). Gated to BIG
+        # trees so tests/oracles on small trees are untouched;
+        # PPG_SLIM_MIRROR=0/1 forces it off/on.
+        keep_depth = (not slim) or knobs.get("PPG_SPLAT_FILTER") == "dir"
+        root_slot_np = tables["root_slot"]
+        kd_slot_np = np.where(
+            self.kd_quad_root >= 0,
+            root_slot_np[np.maximum(self.kd_quad_root, 0)],
+            -1,
+        ).astype(np.int32)
         return SDTreeDevice(
             kd_axis=jnp.asarray(self.kd_axis),
             kd_split=jnp.asarray(self.kd_split),
             kd_left=jnp.asarray(self.kd_left),
             kd_leaf=jnp.asarray(self.kd_leaf),
             kd_quad_root=jnp.asarray(self.kd_quad_root),
-            q_child=q_child_d,
-            q_irr=q_irr_d,
-            q_depth_dev=q_depth_d,
+            q_child=None if slim else q_child_d,
+            q_irr=None if slim else q_irr_d,
+            q_depth_dev=q_depth_d if keep_depth else None,
             kd_vert_acc=jnp.zeros(self.kd_capacity, jnp.float32),
             q_irr_acc=jnp.zeros(self.quad_capacity, jnp.float32),
             bbox_lo=jnp.asarray(self.bbox_lo, jnp.float32),
             bbox_inv_size=jnp.asarray(1.0 / size, jnp.float32),
-            root_slot=jnp.asarray(tables["root_slot"]),
-            grid_node=grid_node_d,
-            leaf_node=leaf_node_d,
-            leaf_cdf=leaf_cdf_d,
-            leaf_lo=leaf_lo_d,
-            leaf_depth=leaf_depth_d,
+            root_slot=None if slim else jnp.asarray(root_slot_np),
+            grid_node=None if slim else grid_node_d,
+            leaf_node=None if slim else leaf_node_d,
+            leaf_cdf=None if slim else leaf_cdf_d,
+            leaf_lo=None if slim else leaf_lo_d,
+            leaf_depth=None if slim else leaf_depth_d,
             root_leaf_off=root_leaf_off_d,
             root_leaf_cnt=jnp.asarray(tables["root_leaf_cnt"]),
-            kd_grid2=kd_grid2_d,
+            kd_grid2=None if slim else kd_grid2_d,
             slot_row=slot_row_d,
             hemi_tab=hemi_d,
             hemi_flat=hemi_d.reshape(-1),
             kd_grid_f=kd_grid_f,
             alias_ab=jnp.asarray(fast2["alias_ab"]),
             leaf_geomp=big["leaf_geomp"],
-            leaf_geom=big["leaf_geom"],
+            leaf_geom=None if slim else big.get("leaf_geom"),
             grid_pl=big["grid_pl"],
             sub_pl=big["sub_pl"],
             q_pack=big["q_pack"],
             kd_ext=jnp.asarray(fast2["kd_ext"]),
+            kd_slot_dev=jnp.asarray(kd_slot_np),
             kd_max_depth=self.kd_max_depth,
             quad_max_depth=self.quad_max_depth,
             grid_l=GRID_L,

@@ -40,6 +40,7 @@ KNOBS: dict[str, tuple[str, str]] = {
     "PPG_TPU_NO_NATIVE": ("0", "1 = disable the C++ host engines (pure-python fallbacks)"),
     "PPG_TPU_JIT_CACHE": ("/tmp/ppg_tpu_jit_cache", "persistent XLA compilation cache dir ('' disables)"),
     "PPG_TPU_CACHE": ("/tmp/ppg_tpu_cache", "decoded-asset (EXR/texture) cache dir"),
+    "PPG_SLIM_MIRROR": ("auto", "drop oracle/derive-only tables from the device mirror: auto (trees >= 2^21 quad nodes), 1 (always), 0 (never) — ~1.3 GB HBM at a 16.7M-node tree"),
     "PPG_BENCH_DEEP_TREE": (
         "debug_r3b/kdc2500-blend/veach-ajar/tree-data/veach-ajar_iter-5.npz",
         "saved late-iteration tree npz for the bench's production-scale guided section",
