@@ -599,7 +599,7 @@ def _interleave2(v, g):
 
 
 def _derive_device_tables(
-    q_child, q_irr, q_depth, grid_node, leaf_cdf, leaf_node, leaf_lo,
+    qc_flat, q_irr, q_depth, grid_node, leaf_cdf, leaf_node, leaf_lo,
     leaf_depth, root_leaf_off, slot_row, n_slots, *, sub_cap, sub_l,
     want_leaf_geom=True,
 ):
@@ -622,7 +622,7 @@ def _derive_device_tables(
     their sum: as ONE program the derive wanted 18.65 G of 15.75 G HBM at
     the 16.7M-quad-node kd-C=2000 tree and the refine had to be reverted.
     """
-    out = dict(_derive_qpack(q_child, q_irr, q_depth))
+    out = dict(_derive_qpack(qc_flat, q_irr, q_depth))
     out.update(
         _derive_leaf_tables(
             leaf_cdf, leaf_node, leaf_lo, leaf_depth, root_leaf_off,
@@ -633,7 +633,7 @@ def _derive_device_tables(
         out["leaf_geom"] = None
     out.update(
         _derive_grid_sub(
-            q_child, q_irr, q_depth, grid_node, slot_row, n_slots,
+            qc_flat, q_irr, q_depth, grid_node, slot_row, n_slots,
             sub_cap=sub_cap, sub_l=sub_l,
         )
     )
@@ -641,22 +641,21 @@ def _derive_device_tables(
 
 
 @jax.jit
-def _derive_qpack(q_child, q_irr, q_depth):
+def _derive_qpack(qc_flat, q_irr, q_depth):
+    # FLAT q_child input + 1-D gathers only: a gather with (2^25, 4)-
+    # shaped indices (and any >= ~2^25-row minor-dim-4 intermediate)
+    # crashes the TPU compile helper outright — isolated round 4 as the
+    # kd-C=2000 iteration-4 refine failure. 1-D index gathers compile at
+    # any size tested (up to 2^28 indices over 2^26-row tables).
     f32 = jnp.float32
-    nq_cap = q_child.shape[0]
-    # packed quad node rows: [c0..3, irr_kid0..3, depth, irr, 0...]
-    kid_irr = jnp.where(
-        q_child >= 0, q_irr[jnp.maximum(q_child, 0)], 0.0
+    # packed quad node rows: [c0..3, irr_kid0..3, depth, irr]
+    kid_flat = jnp.where(
+        qc_flat >= 0, q_irr[jnp.maximum(qc_flat, 0)], 0.0
     ).astype(f32)
-    q_pack = jnp.concatenate(
-        [
-            q_child.astype(f32),
-            kid_irr,
-            q_depth.astype(f32)[:, None],
-            q_irr.astype(f32)[:, None],
-            jnp.zeros((nq_cap, 6), f32),
-        ],
-        axis=-1,
+    cols = [qc_flat[k::4].astype(f32) for k in range(4)]
+    kcols = [kid_flat[k::4] for k in range(4)]
+    q_pack = jnp.stack(
+        cols + kcols + [q_depth.astype(f32), q_irr.astype(f32)], axis=-1
     )
     return dict(q_pack=q_pack)
 
@@ -714,7 +713,7 @@ def _derive_leaf_tables(
 
 @partial(jax.jit, static_argnames=("sub_cap", "sub_l"))
 def _derive_grid_sub(
-    q_child, q_irr, q_depth, grid_node, slot_row, n_slots, *, sub_cap,
+    qc_flat, q_irr, q_depth, grid_node, slot_row, n_slots, *, sub_cap,
     sub_l,
 ):
     f32 = jnp.float32
@@ -722,8 +721,9 @@ def _derive_grid_sub(
     root_irr = slot_row[:, 3]
 
     # per-(slot, cell) interleaved [pdf_enc, node_enc] grid
+    # (qc_flat: row-major flat q_child — see _derive_qpack for why)
     gn = jnp.maximum(grid_node, 0)
-    node_leaf = q_child[gn, 0] < 0
+    node_leaf = qc_flat[gn * 4] < 0
     pdf_leaf = (
         q_irr[gn]
         * jnp.exp2(2.0 * q_depth[gn].astype(f32))
@@ -768,8 +768,6 @@ def _derive_grid_sub(
     ncell = sres * sres
     ci = jnp.arange(ncell, dtype=jnp.int32)
     cy, cx = ci // sres, ci % sres
-    qc0 = q_child[:, 0]
-    qc_flat = q_child.reshape(-1)
     cur = jnp.broadcast_to(start[:, None], (sub_cap, ncell))
     for level in range(sub_l):
         bit = sub_l - 1 - level
@@ -777,10 +775,10 @@ def _derive_grid_sub(
         hx = (cx >> bit) & 1
         # (hy,hx) -> quadrant: (0,0)=2 (0,1)=3 (1,0)=1 (1,1)=0
         q = (1 - hy) * 2 + (hx ^ hy)
-        isleaf = qc0[cur] < 0  # leaves self-propagate to all cells
+        isleaf = qc_flat[cur * 4] < 0  # leaves self-propagate to all cells
         child = qc_flat[cur * 4 + q[None, :]]
         cur = jnp.where(isleaf, cur, child)
-    leaf_s = qc0[cur] < 0
+    leaf_s = qc_flat[cur * 4] < 0
     pdf_s = (
         q_irr[cur]
         * jnp.exp2(2.0 * q_depth[cur].astype(f32))
@@ -1070,7 +1068,7 @@ class SDTree:
         leaf_geomp[:, 3] = leaf_geom[:, 4]
 
         # packed quad node rows: [c0..3, irr_kid0..3, depth, irr, ...]
-        q_pack = np.zeros((nq_cap, 16), np.float32)
+        q_pack = np.zeros((nq_cap, 10), np.float32)
         qc = self.q_child
         q_pack[:, 0:4] = qc
         q_pack[:, 4:8] = np.where(qc >= 0, self.q_irr[np.maximum(qc, 0)], 0.0)
@@ -1164,7 +1162,12 @@ class SDTree:
         )
         # upload the structural arrays ONCE; the five big tables are
         # derived from them on device (see _derive_device_tables)
-        q_child_d = jnp.asarray(self.q_child)
+        slim_knob = knobs.get("PPG_SLIM_MIRROR")
+        slim = derive and USE_FAST_TREE and (
+            slim_knob == "1"
+            or (slim_knob == "auto" and self.q_count >= (1 << 21))
+        )
+        q_child_d = None if slim else jnp.asarray(self.q_child)
         q_irr_d = jnp.asarray(self.q_irr.astype(np.float32))
         q_depth_d = jnp.asarray(self.q_depth)
         grid_node_d = jnp.asarray(tables["grid_node"])
@@ -1173,14 +1176,12 @@ class SDTree:
         leaf_lo_d = jnp.asarray(tables["leaf_lo"])
         leaf_depth_d = jnp.asarray(tables["leaf_depth"])
         root_leaf_off_d = jnp.asarray(tables["root_leaf_off"])
-        slim_knob = knobs.get("PPG_SLIM_MIRROR")
-        slim = derive and USE_FAST_TREE and (
-            slim_knob == "1"
-            or (slim_knob == "auto" and self.q_count >= (1 << 21))
-        )
         if derive:
+            qc_flat_d = jnp.asarray(
+                np.ascontiguousarray(self.q_child).reshape(-1)
+            )
             big = _derive_device_tables(
-                q_child_d, q_irr_d, q_depth_d, grid_node_d, leaf_cdf_d,
+                qc_flat_d, q_irr_d, q_depth_d, grid_node_d, leaf_cdf_d,
                 leaf_node_d, leaf_lo_d, leaf_depth_d, root_leaf_off_d,
                 slot_row_d, jnp.int32(fast2["n_slots"]),
                 sub_cap=fast2["sub_cap"], sub_l=SUB_L,

@@ -562,7 +562,7 @@ def test_device_derived_tables_match_host_build(rng_np):
     host = tree._build_fast2(tables, big=True)
     assert host["n_sub"] > 0, "test tree too shallow to cover subgrids"
     der = sd._derive_device_tables(
-        jnp.asarray(tree.q_child),
+        jnp.asarray(np.ascontiguousarray(tree.q_child).reshape(-1)),
         jnp.asarray(tree.q_irr.astype(np.float32)),
         jnp.asarray(tree.q_depth),
         jnp.asarray(tables["grid_node"]),
