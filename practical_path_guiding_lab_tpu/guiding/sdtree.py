@@ -711,6 +711,12 @@ def _derive_leaf_tables(
     return dict(leaf_geom=leaf_geom, leaf_geomp=leaf_geomp)
 
 
+# grid-derive chunk rows: bounds per-chunk temps to ~chunk*4096*4 B each;
+# 16384 keeps the plan under ~2.5 G at any slot tier (tests can lower it
+# to exercise the multi-chunk path on small trees)
+_GRID_CHUNK_ROWS = 16384
+
+
 @partial(jax.jit, static_argnames=("sub_cap", "sub_l"))
 def _derive_grid_sub(
     qc_flat, q_irr, q_depth, grid_node, slot_row, n_slots, *, sub_cap,
@@ -719,33 +725,64 @@ def _derive_grid_sub(
     f32 = jnp.float32
     max_roots, cells = grid_node.shape
     root_irr = slot_row[:, 3]
-
-    # per-(slot, cell) interleaved [pdf_enc, node_enc] grid
-    # (qc_flat: row-major flat q_child — see _derive_qpack for why)
-    gn = jnp.maximum(grid_node, 0)
-    node_leaf = qc_flat[gn * 4] < 0
-    pdf_leaf = (
-        q_irr[gn]
-        * jnp.exp2(2.0 * q_depth[gn].astype(f32))
-        * f32(INV_FOUR_PI)
-        / jnp.maximum(root_irr[:, None], 1e-30)
-    )
-    live_row = (jnp.arange(max_roots) < n_slots)[:, None]
-    internal = (~node_leaf) & live_row
-    flat_int = internal.reshape(-1)
-    sub_of_cell = (
-        (jnp.cumsum(flat_int.astype(jnp.int32)) - 1)
-        .reshape(internal.shape)
-        .astype(f32)
-    )
-    g_val = jnp.where(
-        node_leaf, jnp.nan_to_num(pdf_leaf), -(sub_of_cell + 1.0)
-    )
-    g_node = jnp.where(node_leaf, gn.astype(f32), -(sub_of_cell + 1.0))
     zero = jnp.zeros((), f32)
-    g_val = jnp.where(live_row, g_val, zero)
-    g_node = jnp.where(live_row, g_node, zero)
-    grid_pl = _interleave2(g_val.reshape(-1), g_node.reshape(-1))
+
+    # per-(slot, cell) interleaved [pdf_enc, node_enc] grid, CHUNKED over
+    # slot rows: at a 78.9k-kd-leaf kd-C=2000 tree the slot tier reaches
+    # 131072 and the unchunked form materializes ~8 (131072, 4096) temps
+    # — a 20.02 G compile plan on a 15.75 G chip (measured, the REAL
+    # iteration-4 refine wall after the flat-index fix). Each chunk's
+    # temps are bounded; the running `carry` keeps the global sub-pool
+    # cumsum exact across chunks.
+    # (qc_flat: row-major flat q_child — see _derive_qpack for why)
+    chunk = min(max_roots, _GRID_CHUNK_ROWS)
+    n_chunks = (max_roots + chunk - 1) // chunk
+    g_pieces = []
+    carry = jnp.zeros((), jnp.int32)
+    # sub-pool source info, built incrementally by per-chunk scatters
+    start = jnp.zeros((sub_cap,), jnp.int32)
+    slot_of_sub = jnp.zeros((sub_cap,), jnp.int32)
+    for c in range(n_chunks):
+        r0 = c * chunk
+        gn_c = jnp.maximum(grid_node[r0 : r0 + chunk], 0)
+        rows_c = gn_c.shape[0]
+        node_leaf = qc_flat[gn_c * 4] < 0
+        pdf_leaf = (
+            q_irr[gn_c]
+            * jnp.exp2(2.0 * q_depth[gn_c].astype(f32))
+            * f32(INV_FOUR_PI)
+            / jnp.maximum(root_irr[r0 : r0 + chunk, None], 1e-30)
+        )
+        live_row = (r0 + jnp.arange(rows_c) < n_slots)[:, None]
+        internal = (~node_leaf) & live_row
+        flat_int = internal.reshape(-1)
+        sub_of_cell = (
+            (jnp.cumsum(flat_int.astype(jnp.int32)) - 1 + carry)
+            .reshape(internal.shape)
+        )
+        g_val = jnp.where(
+            node_leaf, jnp.nan_to_num(pdf_leaf),
+            -(sub_of_cell.astype(f32) + 1.0),
+        )
+        g_node = jnp.where(
+            node_leaf, gn_c.astype(f32), -(sub_of_cell.astype(f32) + 1.0)
+        )
+        g_val = jnp.where(live_row, g_val, zero)
+        g_node = jnp.where(live_row, g_node, zero)
+        g_pieces.append(
+            _interleave2(g_val.reshape(-1), g_node.reshape(-1))
+        )
+        # scatter this chunk's internal cells into the sub-pool sources
+        sub_idx = jnp.where(flat_int, sub_of_cell.reshape(-1), sub_cap)
+        start = start.at[sub_idx].set(gn_c.reshape(-1), mode="drop")
+        slot_of_sub = slot_of_sub.at[sub_idx].set(
+            r0 + jnp.arange(rows_c * cells, dtype=jnp.int32) // cells,
+            mode="drop",
+        )
+        carry = carry + jnp.sum(flat_int.astype(jnp.int32))
+    grid_pl = (
+        g_pieces[0] if n_chunks == 1 else jnp.concatenate(g_pieces)
+    )
 
     # level-2 subgrids: expand each internal covering node down sub_l
     # levels, spatial [y][x] layout; quadrant of sub-half (hx, hy):
@@ -757,18 +794,22 @@ def _derive_grid_sub(
     # pool reaches 524288 rows and the stack temp alone is 34 GB (compile
     # OOM, measured). Each of the 256 final cells instead descends by its
     # own (y, x) bits: sub_l iterations of one (B, 256) 1-D gather.
-    flat_gn = gn.reshape(-1)
-    n_flat = flat_gn.shape[0]
-    idx = jnp.nonzero(flat_int, size=sub_cap, fill_value=n_flat)[0]
-    pad = idx >= n_flat
-    start = jnp.where(pad, 0, flat_gn[jnp.minimum(idx, n_flat - 1)])
-    slot_of_sub = jnp.minimum(idx // cells, max_roots - 1)
-    root_irr_sub = root_irr[slot_of_sub]
+    pad = jnp.arange(sub_cap) >= carry
+    start = jnp.where(pad, 0, start)
+    slot_of_sub = jnp.minimum(
+        jnp.where(pad, 0, slot_of_sub), max_roots - 1
+    )
+    # FULLY-1-D expansion: the (sub_cap, 16) form's T(8,128) tiling pads
+    # the 16-minor to 128 — nine 2.00 G temps at the kd-C=2000 tree's
+    # sub_cap = 2^22 (measured, the post-chunking residual of the
+    # iteration-4 refine wall). Flat (sub_cap*16,) arrays stay linear.
     sres = 1 << sub_l
     ncell = sres * sres
-    ci = jnp.arange(ncell, dtype=jnp.int32)
+    flat_n = sub_cap * ncell
+    fi = jnp.arange(flat_n, dtype=jnp.int32)
+    ci = fi % ncell
     cy, cx = ci // sres, ci % sres
-    cur = jnp.broadcast_to(start[:, None], (sub_cap, ncell))
+    cur = start[fi // ncell]
     for level in range(sub_l):
         bit = sub_l - 1 - level
         hy = (cy >> bit) & 1
@@ -776,22 +817,23 @@ def _derive_grid_sub(
         # (hy,hx) -> quadrant: (0,0)=2 (0,1)=3 (1,0)=1 (1,1)=0
         q = (1 - hy) * 2 + (hx ^ hy)
         isleaf = qc_flat[cur * 4] < 0  # leaves self-propagate to all cells
-        child = qc_flat[cur * 4 + q[None, :]]
+        child = qc_flat[cur * 4 + q]
         cur = jnp.where(isleaf, cur, child)
     leaf_s = qc_flat[cur * 4] < 0
+    root_irr_f = root_irr[slot_of_sub][fi // ncell]
     pdf_s = (
         q_irr[cur]
         * jnp.exp2(2.0 * q_depth[cur].astype(f32))
         * f32(INV_FOUR_PI)
-        / jnp.maximum(root_irr_sub, 1e-30)[:, None]
+        / jnp.maximum(root_irr_f, 1e-30)
     )
     curf = cur.astype(f32)
     s_val = jnp.where(leaf_s, jnp.nan_to_num(pdf_s), -(curf + 1.0))
     s_node = jnp.where(leaf_s, curf, -(curf + 1.0))
-    live_sub = (~pad)[:, None]
+    live_sub = ~pad[fi // ncell]
     s_val = jnp.where(live_sub, s_val, zero)
     s_node = jnp.where(live_sub, s_node, zero)
-    sub_pl = _interleave2(s_val.reshape(-1), s_node.reshape(-1))
+    sub_pl = _interleave2(s_val, s_node)
     return dict(grid_pl=grid_pl, sub_pl=sub_pl)
 
 
@@ -1278,7 +1320,11 @@ class SDTree:
         if n > cap:
             cap = 2048
         while cap < n:
-            cap *= 4
+            # x4 up to 8192 (few shapes for small scenes), then x2: the
+            # grid tables scale with this tier (rows x 4096 cells), and
+            # the 32768 -> 131072 x4 jump at a 78.9k-leaf kd-C=2000 tree
+            # put a 4.3 GB grid_pl + a 20 G derive plan on a 15.75 G chip
+            cap *= 4 if cap < 8192 else 2
         return min(cap, self.max_roots)
 
     def _build_lookup_tables(self):

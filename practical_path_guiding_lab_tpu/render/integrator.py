@@ -435,13 +435,15 @@ class PathGuidingIntegrator:
             self._sync_device()
         except Exception as e:  # jax.errors.JaxRuntimeError: HBM OOM
             import gc
+            import traceback
             import warnings
 
             warnings.warn(
                 "[sdtree] refined tree's device mirror does not fit on "
                 f"this chip ({type(e).__name__}: {str(e)[:200]}) — "
                 "reverting the refine and continuing on the previous "
-                "structure (irradiance update kept)."
+                "structure (irradiance update kept). Last frames:\n"
+                + "".join(traceback.format_exc().splitlines(True)[-12:])
             )
             self.dev_tree = None  # drop any partially-built mirror
             gc.collect()

@@ -799,3 +799,45 @@ def test_slim_mirror_bitwise_equals_full(rng_np, monkeypatch):
         assert (
             np.asarray(s1.kd_vert_acc) == np.asarray(s2.kd_vert_acc)
         ).all()
+
+
+def test_grid_derive_chunked_matches_unchunked(rng_np, monkeypatch):
+    """The grid phase of _derive_grid_sub is chunked over slot rows (HBM
+    plan at big slot tiers); the chunked path (incl. the cross-chunk
+    sub-pool cumsum carry and scatter-built sub sources) must reproduce
+    the single-chunk result exactly."""
+    import jax.numpy as jnp
+    from practical_path_guiding_lab_tpu.guiding import sdtree as sd
+
+    tree = sd.SDTree([0, 0, 0], [1, 1, 1], kd_capacity=1 << 10,
+                     quad_capacity=1 << 14)
+    n = 20000
+    for it in range(2):
+        dev = tree.to_device()
+        p = rng_np.random((n, 3)).astype(np.float32)
+        xy = rng_np.random((n, 2)).astype(np.float32)
+        val = rng_np.random(n).astype(np.float32) * 10
+        dev = sd.splat(dev, jnp.asarray(p), jnp.asarray(xy),
+                       jnp.asarray(val), jnp.ones(n, jnp.float32))
+        tree.absorb_accumulators(dev)
+        tree.kd_threshold = 3000.0
+        tree.refine()
+
+    tables = tree._build_lookup_tables()
+    host = tree._build_fast2(tables, big=False)
+    args = (
+        jnp.asarray(np.ascontiguousarray(tree.q_child).reshape(-1)),
+        jnp.asarray(tree.q_irr.astype(np.float32)),
+        jnp.asarray(tree.q_depth),
+        jnp.asarray(tables["grid_node"]),
+        jnp.asarray(host["slot_row"]),
+        jnp.int32(host["n_slots"]),
+    )
+    kw = dict(sub_cap=host["sub_cap"], sub_l=sd.SUB_L)
+    fn = sd._derive_grid_sub.__wrapped__
+    one = fn(*args, **kw)  # max_roots <= default chunk -> single chunk
+    assert tables["grid_node"].shape[0] > 4  # sanity: chunking will kick in
+    monkeypatch.setattr(sd, "_GRID_CHUNK_ROWS", 4)
+    many = fn(*args, **kw)
+    assert (np.asarray(one["grid_pl"]) == np.asarray(many["grid_pl"])).all()
+    assert (np.asarray(one["sub_pl"]) == np.asarray(many["sub_pl"])).all()
