@@ -125,6 +125,26 @@ class PathGuidingIntegrator:
         """Device mirror: structure + prev irradiance (sampling) + zeroed
         accumulators (current splats)."""
         self.dev_tree = self.tree_prev.to_device()
+        # Retire the async device-table derive BEFORE the driver issues
+        # its next allocations: the derive's transient peak (structural
+        # uploads + derived outputs + temps, ~8 GB at a 12.6M-node
+        # kd-C=2000 tree) plus driver-side allocations OOM'd a run right
+        # AFTER a successful refine (measured round 4). Blocking here
+        # lets the upload buffers and temps free at their true death
+        # point instead of overlapping the next iteration's setup.
+        import gc
+
+        import jax as _jax
+
+        big = [
+            a for a in (
+                self.dev_tree.grid_pl, self.dev_tree.sub_pl,
+                self.dev_tree.q_pack, self.dev_tree.leaf_geomp,
+            ) if a is not None
+        ]
+        if big:
+            _jax.block_until_ready(big)
+        gc.collect()
 
     def setIteration(self, iteration, is_final):
         self.iteration = iteration

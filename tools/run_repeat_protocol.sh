@@ -18,7 +18,7 @@ PPG_ADAPTIVE_FRACTION=0 timeout 3000 python -m practical_path_guiding_lab_tpu.dr
   --scene veach-ajar --budget 252 $RES --out debug_r4/repeat-default
 echo "=== repeat x2 sims (defaults) ==="
 PPG_ADAPTIVE_FRACTION=0 timeout 5400 python -m practical_path_guiding_lab_tpu.drivers.repeat \
-  --scene veach-ajar --iterations $ITERS --spp 1024 --sims 2 $RES \
+  --scene veach-ajar --iterations $ITERS --spp 512 --sims 2 $RES \
   --record-every 32 --out debug_r4/repeat-default
 
 echo "=== training (tuned: kd C=2500 + adaptive fraction) ==="
@@ -26,10 +26,10 @@ PPG_KD_SPLIT_C=2500 timeout 3000 python -m practical_path_guiding_lab_tpu.driver
   --scene veach-ajar --budget 252 $RES --out debug_r4/repeat-tuned
 echo "=== repeat x2 sims (tuned) ==="
 PPG_KD_SPLIT_C=2500 timeout 5400 python -m practical_path_guiding_lab_tpu.drivers.repeat \
-  --scene veach-ajar --iterations $ITERS --spp 1024 --sims 2 $RES \
+  --scene veach-ajar --iterations $ITERS --spp 512 --sims 2 $RES \
   --record-every 32 --out debug_r4/repeat-tuned
 
 echo "=== unguided PT baseline curve ==="
 timeout 3000 python -m practical_path_guiding_lab_tpu.drivers.baseline \
-  --scene veach-ajar --spp 1024 $RES --out debug_r4/pt-base
+  --scene veach-ajar --spp 512 $RES --out debug_r4/pt-base
 echo "ALL DONE"
