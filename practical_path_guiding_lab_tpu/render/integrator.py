@@ -451,6 +451,19 @@ class PathGuidingIntegrator:
         self.tree_current.refine()
         self.tree_prev = self.tree_current.copy()
         self.tree_current.reset_counters()
+        if self.tree_prev.q_count >= (1 << 22):
+            # big-tree rebuild: drop every cached executable first — the
+            # per-shape-tier programs accumulated over the run pin device
+            # constants and fragment the heap; a 12.6M-node mirror that
+            # builds fine on a clean chip (measured, round-4 repro) OOM'd
+            # in-run. Re-execution recompiles through the persistent
+            # cache (seconds, not minutes).
+            import gc
+
+            import jax as _jax
+
+            _jax.clear_caches()
+            gc.collect()
         try:
             self._sync_device()
         except Exception as e:  # jax.errors.JaxRuntimeError: HBM OOM
@@ -470,7 +483,18 @@ class PathGuidingIntegrator:
             self.tree_current = snapshot
             self.tree_prev = snapshot.copy()
             self.tree_current.reset_counters()
-            self._sync_device()
+            try:
+                self._sync_device()
+            except Exception:
+                # even the SMALLER pre-refine mirror can fail right after
+                # a big-mirror OOM (orphaned buffers / fragmentation):
+                # drop every cached executable and retry once
+                import jax as _jax
+
+                self.dev_tree = None
+                _jax.clear_caches()
+                gc.collect()
+                self._sync_device()
 
     def saveSDTreeToFile(self, path):
         """Saves the PREV tree (reference :589-595 saves each iteration)."""
