@@ -71,7 +71,9 @@ def bench_guided(scene, n_timed=6):
         integ.refineAndPrepareSDTreeForNextIteration()
 
     integ.setIteration(3, False)
-    _, rays_train = integ.render_pass(0, spp)  # warm/compile
+    _, rays_train = integ.render_pass(0, spp)  # warm/compile (probe)
+    spp += 1
+    integ.render_pass(0, spp)  # warm the FROZEN shrink-plan program too
     spp += 1
     ts = []
     for _ in range(n_timed):
@@ -88,7 +90,9 @@ def bench_guided(scene, n_timed=6):
     import os as _os
     fd = max(1, int(_os.environ.get("PPG_FINAL_DISPATCH", "1")))
     integ.setIteration(3, True)
-    _, rays_final = integ.render_pass(0, spp, spp=fd)
+    _, rays_final = integ.render_pass(0, spp, spp=fd)  # probe
+    spp += fd
+    integ.render_pass(0, spp, spp=fd)  # warm the frozen-plan program
     spp += fd
     ts = []
     for _ in range(n_timed):
@@ -125,7 +129,9 @@ def bench_guided_deep(scene, n_timed=6):
     for label, is_final in (("train", False), ("final", True)):
         integ.setIteration(5, is_final)
         spp = 0 if is_final else 1000
-        _, rays = integ.render_pass(0, spp)  # warm/compile
+        _, rays = integ.render_pass(0, spp)  # warm/compile (probe)
+        spp += 1
+        integ.render_pass(0, spp)  # warm the frozen-plan program
         spp += 1
         ts = []
         for _ in range(n_timed):
