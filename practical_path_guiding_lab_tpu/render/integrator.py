@@ -457,13 +457,27 @@ class PathGuidingIntegrator:
             # constants and fragment the heap; a 12.6M-node mirror that
             # builds fine on a clean chip (measured, round-4 repro) OOM'd
             # in-run. Re-execution recompiles through the persistent
-            # cache (seconds, not minutes).
+            # cache (seconds, not minutes). Deallocation on the remote
+            # backend is asynchronous, so give it a moment to settle and
+            # log the allocator's view for diagnosis.
             import gc
+            import time as _time
 
             import jax as _jax
 
             _jax.clear_caches()
             gc.collect()
+            _time.sleep(5.0)
+            try:
+                ms = _jax.devices()[0].memory_stats() or {}
+                print(
+                    "  [refine] HBM in use before rebuild: "
+                    f"{ms.get('bytes_in_use', -1) / 1e9:.2f} G "
+                    f"(peak {ms.get('peak_bytes_in_use', -1) / 1e9:.2f} G)",
+                    flush=True,
+                )
+            except Exception:
+                pass
         try:
             self._sync_device()
         except Exception as e:  # jax.errors.JaxRuntimeError: HBM OOM
@@ -487,13 +501,18 @@ class PathGuidingIntegrator:
                 self._sync_device()
             except Exception:
                 # even the SMALLER pre-refine mirror can fail right after
-                # a big-mirror OOM (orphaned buffers / fragmentation):
-                # drop every cached executable and retry once
+                # a big-mirror OOM (orphaned buffers / fragmentation —
+                # deallocation on the remote backend is asynchronous):
+                # drop every cached executable, WAIT for the backend to
+                # actually release, and retry
+                import time as _time
+
                 import jax as _jax
 
                 self.dev_tree = None
                 _jax.clear_caches()
                 gc.collect()
+                _time.sleep(15.0)
                 self._sync_device()
 
     def saveSDTreeToFile(self, path):
