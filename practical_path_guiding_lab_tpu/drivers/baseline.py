@@ -83,9 +83,12 @@ def render_baseline(cfg: BaselineConfig):
             acc, acc_u, rays_acc = (
                 out["acc_w"], out["acc_u"], out["rays_acc"]
             )
-            jax.block_until_ready(out["mse"])
-        elif out["ovf"] is None:
-            jax.block_until_ready(out["mse"])
+        # the clock must include the chunk's post/metric programs, not
+        # just the render program the ovf flag rides on — block on a
+        # post-program output so every row's timestamp (and time-budget
+        # accounting) covers the full chunk, consistently across steady
+        # and re-run rows
+        jax.block_until_ready(out["mse"])
         spp += chunk_spp
         cumm_time += time.perf_counter() - t0
         pending.append(

@@ -318,8 +318,11 @@ def train(cfg: TrainConfig):
                         acc_u = out["acc_u"]
                         rays_acc = out["rays_acc"]
                         reran = True
-                if reran:
-                    _jax.block_until_ready(out["mse"])
+                # row timestamps must cover the pass's post/metric
+                # programs too (not just the render program the ovf flag
+                # rides on): block on a post output before the row clock
+                # stops, so steady and re-run rows are timed consistently
+                _jax.block_until_ready(out["mse"])
                 curr_iter_image = acc_w
                 if is_final:
                     curr_iter_image_acc = acc_u

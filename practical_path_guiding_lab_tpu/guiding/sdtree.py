@@ -112,8 +112,9 @@ class SDTreeDevice:
     # (GRID_L, GRID_L+SUB_L]): same interleaved encoding, < 0 ->
     # -(node+1) residual descent from depth GRID_L+SUB_L (rare)
     sub_pl: jnp.ndarray = None        # (SUBCAP * 4^SUB_L * 2,) float32
-    # packed quad node row for residual descents: [c0..c3, irr_kid0..3]
-    q_pack: jnp.ndarray = None        # (NQ, 8) float32
+    # packed quad node row for residual descents:
+    # [c0..c3, irr_kid0..3, depth, irr]
+    q_pack: jnp.ndarray = None        # (NQ, 10) float32
     # per-kd-node world-space extents (for stochastic spatial splat
     # filtering, Mueller's practical improvement): derivable from depth
     # alone since axis = depth % 3
@@ -2265,6 +2266,24 @@ def _tail_cap(m: int) -> int:
     return min(max(m // 8, 1024), m)
 
 
+_TAIL_SPARSE = None  # test override
+
+
+def _tail_sparse_min(m: int) -> int:
+    """Below this many needy lanes the compacted tail LOSES to the plain
+    masked full-width descent: the compaction pays a rank cumsum +
+    full-width scatter (~20-35 ms at the 1.8M-lane pdf chain) no matter
+    how few lanes need it, while the full-width descent's per-step row
+    gather is masked to row 0 on resolved lanes (pruned HBM reads) and
+    the loop exits after max-residual-depth steps. Measured on the
+    7.43M-node deep tree: the tail machinery cost 211 ms/pass for ~1e-3
+    needy lanes (round-5 profile) — the compact path's fixed costs
+    inverted its own optimization."""
+    if _TAIL_SPARSE is not None:
+        return int(_TAIL_SPARSE)
+    return max(m // 64, 8192)
+
+
 def _compact_tail(need, m, cap, gather_arrays):
     """Rank-scatter the ``need`` lanes' ids into ``cap`` slots. Returns
     (idx (cap,) int32 with M = dropped padding, per-array compacted
@@ -2312,7 +2331,10 @@ def quad_pdf_leaf_fast2(tree: SDTreeDevice, slot, srow, xy, ok=None):
     done1 = done0 | (g2 >= 0)
     pdf01 = jnp.where(done0, jnp.maximum(v, 0.0), jnp.maximum(v2, 0.0))
     leaf01 = jnp.where(done0, g, jnp.maximum(g2, 0.0)).astype(jnp.int32)
-    node0 = (-g2).astype(jnp.int32) - 1  # depth grid_l+sub_l where ~done1
+    # depth grid_l+sub_l where ~done1; done lanes pinned to row 0 so the
+    # full-width tail's q_pack gathers stay pruned (a done lane's -g2-1
+    # can be junk-positive -> a random HBM read per masked lane)
+    node0 = jnp.where(done1, 0, (-g2).astype(jnp.int32) - 1)
     root_irr = srow[..., 3]
     prefix_scale = jnp.exp2(
         2.0 * jnp.float32(tree.grid_l + tree.sub_l)
@@ -2370,7 +2392,10 @@ def quad_pdf_leaf_fast2(tree: SDTreeDevice, slot, srow, xy, ok=None):
 
         def tail(_):
             n_need = jnp.sum(need.astype(jnp.int32))
-            return jax.lax.cond(n_need <= cap, tail_compact, tail_full, None)
+            return jax.lax.cond(
+                (n_need > _tail_sparse_min(m)) & (n_need <= cap),
+                tail_compact, tail_full, None,
+            )
     else:
         tail = tail_full
 
@@ -2412,7 +2437,9 @@ def quad_leaf_lookup_fast2(tree: SDTreeDevice, slot, xy):
     n2 = tree.sub_pl[2 * sidx + 1]
     done1 = done0 | (n2 >= 0)
     node01 = jnp.where(done0, g, jnp.maximum(n2, 0.0)).astype(jnp.int32)
-    node0 = (-n2).astype(jnp.int32) - 1  # internal at grid_l+sub_l
+    # internal at grid_l+sub_l; done lanes pinned to row 0 (see
+    # quad_pdf_leaf_fast2 — keeps the full-width tail's gathers pruned)
+    node0 = jnp.where(done1, 0, (-n2).astype(jnp.int32) - 1)
 
     def _descend(xy_t, node_t, done_t):
         def cond(carry):
@@ -2448,7 +2475,10 @@ def quad_leaf_lookup_fast2(tree: SDTreeDevice, slot, xy):
 
         def tail(_):
             n_need = jnp.sum(need.astype(jnp.int32))
-            return jax.lax.cond(n_need <= cap, tail_compact, tail_full, None)
+            return jax.lax.cond(
+                (n_need > _tail_sparse_min(m)) & (n_need <= cap),
+                tail_compact, tail_full, None,
+            )
     else:
         tail = tail_full
 

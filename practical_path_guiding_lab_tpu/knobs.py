@@ -42,8 +42,13 @@ KNOBS: dict[str, tuple[str, str]] = {
     "PPG_TPU_CACHE": ("/tmp/ppg_tpu_cache", "decoded-asset (EXR/texture) cache dir"),
     "PPG_SLIM_MIRROR": ("auto", "drop oracle/derive-only tables from the device mirror: auto (trees >= 2^21 quad nodes), 1 (always), 0 (never) — ~1.3 GB HBM at a 16.7M-node tree"),
     "PPG_BENCH_DEEP_TREE": (
-        "debug_r3b/kdc2500-blend/veach-ajar/tree-data/veach-ajar_iter-5.npz",
-        "saved late-iteration tree npz for the bench's production-scale guided section",
+        "debug_r3b/kdc2500-blend/veach-ajar/tree-data/veach-ajar_iter-4.npz",
+        "saved late-iteration tree npz for the bench's production-scale "
+        "guided section. NB iter-4, not iter-5: the final iteration's "
+        "saved tree is structure-only (training refines+resets after the "
+        "last trained iteration — reference main.py:382-383 does the "
+        "same), so iter-5's all-zero flux would benchmark uniform "
+        "sampling, not a trained distribution (found round 5)",
     ),
 }
 

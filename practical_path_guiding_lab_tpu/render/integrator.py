@@ -203,7 +203,7 @@ class PathGuidingIntegrator:
                     self.scene.camera.width * self.scene.camera.height * spp
                 )
                 key = (
-                    id(self.scene), n_total, "guided", record,
+                    pt_mod.scene_token(self.scene), n_total, "guided", record,
                     self.iteration > 1,
                 )
                 sched = pt_mod.plan_for(key, n_total, self.scene.max_depth)
@@ -211,7 +211,8 @@ class PathGuidingIntegrator:
                     self.scene, self.dev_tree, seed0, cumm_spp,
                     self.iteration, record=record, spp=spp, schedule=sched,
                 )
-                pt_mod.plan_update(key, counts)
+                if not pt_mod.plan_is_frozen(key):
+                    pt_mod.plan_update(key, counts)
                 if sched and bool(ovf):
                     # live lanes dropped (rare): truncated transport —
                     # discard and re-run this pass at full width, then
@@ -319,7 +320,7 @@ class PathGuidingIntegrator:
         if pt_mod.cascade_enabled():
             n_total = self.scene.camera.width * self.scene.camera.height * spp
             key = (
-                id(self.scene), n_total, "guided", record,
+                pt_mod.scene_token(self.scene), n_total, "guided", record,
                 self.iteration > 1,
             )
             sched = () if force_full else pt_mod.plan_for(

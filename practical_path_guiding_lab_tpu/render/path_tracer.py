@@ -447,6 +447,36 @@ def render_pass(scene, seed0, pass_index, jitter=True, spp=1, schedule=None):
 # i.i.d. — and the overflow flag + full-width re-run covers the tail).
 # --------------------------------------------------------------------- #
 
+def scene_token(scene) -> int:
+    """Stable per-scene-object token for plan-cache keys. ``id(scene)``
+    alone can be recycled after a scene is garbage-collected, silently
+    inheriting a stale frozen schedule (correctness survives via the
+    overflow gate + full-width re-run, but each inherited-overflow pass
+    is a discarded re-run); a weakref finalizer retires the token with
+    the object."""
+    import weakref
+
+    i = id(scene)
+    tok = _SCENE_TOKENS.get(i)
+    if tok is None:
+        tok = len(_SCENE_TOKENS) + _SCENE_TOKENS_RETIRED[0]
+        _SCENE_TOKENS[i] = tok
+        try:
+            weakref.finalize(scene, _scene_token_retire, i)
+        except TypeError:  # non-weakreferenceable: keep the id mapping
+            pass
+    return tok
+
+
+_SCENE_TOKENS: dict = {}
+_SCENE_TOKENS_RETIRED = [0]
+
+
+def _scene_token_retire(i):
+    _SCENE_TOKENS.pop(i, None)
+    _SCENE_TOKENS_RETIRED[0] += 1
+
+
 _PLAN_COUNTS: dict = {}
 # key -> frozen schedule. A schedule is computed ONCE per key (from the
 # full-width probe pass's live counts) and then FROZEN: the running-max
@@ -524,6 +554,10 @@ def plan_for(key, n_total: int, max_depth: int):
     return sched
 
 
+def plan_is_frozen(key) -> bool:
+    return key in _PLAN_FROZEN
+
+
 def plan_update(key, counts) -> None:
     import numpy as np
 
@@ -562,12 +596,16 @@ def render_pass_auto(scene, seed0, pass_index, jitter=True, spp=1):
             render_pass, static_argnames=("jitter", "spp", "schedule")
         )
     n_total = scene.camera.width * scene.camera.height * spp
-    key = (id(scene), n_total, "pt")
+    key = (scene_token(scene), n_total, "pt")
     sched = plan_for(key, n_total, scene.max_depth)
     L, px, py, rays, counts, ovf = _pass_jit(
         scene, seed0, pass_index, jitter=jitter, spp=spp, schedule=sched
     )
-    plan_update(key, counts)
+    if not plan_is_frozen(key):
+        # once frozen, the running-max counts only matter again on
+        # overflow (the re-run below refetches them) — skip the per-pass
+        # blocking D2H of the counts vector
+        plan_update(key, counts)
     if sched and bool(ovf):
         # a live lane was dropped: the cascade result is truncated
         # transport — discard and re-run this pass at full width, then
@@ -598,7 +636,7 @@ def render_pass_async(scene, seed0, pass_index, jitter=True, spp=1,
         )
         return L, px, py, rays, None
     n_total = scene.camera.width * scene.camera.height * spp
-    key = (id(scene), n_total, "pt")
+    key = (scene_token(scene), n_total, "pt")
     sched = () if force_full else plan_for(key, n_total, scene.max_depth)
     L, px, py, rays, counts, ovf = _pass_jit(
         scene, seed0, pass_index, jitter=jitter, spp=spp, schedule=sched

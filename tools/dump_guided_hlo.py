@@ -75,7 +75,7 @@ def main():
     integ.render_pass(0, spp)
     spp += 1
     n_total = scene.camera.width * scene.camera.height
-    key = (id(scene), n_total, "guided", True, True)
+    key = (pt_mod.scene_token(scene), n_total, "guided", True, True)
     sched = pt_mod.plan_for(key, n_total, scene.max_depth)
     print("schedule:", sched, flush=True)
 
