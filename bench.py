@@ -13,6 +13,8 @@ with a block_until_ready at each pass end.
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 import warnings
 
@@ -105,6 +107,88 @@ def bench_guided(scene, n_timed=6):
     return train, final
 
 
+def _drive_passes(integ, gt, n_timed, spp0, spp_step=1, w_w=1.0):
+    """Driver-grade timed passes: render_pass_driver with ONE blocking
+    read per pass (the production protocol — drivers/train.py round 4).
+    Returns per-pass times."""
+    import jax.numpy as jnp
+
+    n = integ.scene.camera.width * integ.scene.camera.height
+    acc_w = jnp.zeros((n, 3))
+    acc_u = jnp.zeros((n, 3))
+    rays_acc = jnp.zeros(())
+    spp = spp0
+    ts = []
+    for i in range(n_timed + 2):
+        t0 = time.perf_counter()
+        out = integ.render_pass_driver(
+            0, spp, spp=spp_step, acc_w=acc_w, acc_u=acc_u, w_w=w_w,
+            w_u=0.0, spp_total=spp + spp_step, rays_acc=rays_acc,
+            ground_truth=gt,
+        )
+        acc_w, acc_u, rays_acc = out["acc_w"], out["acc_u"], out["rays_acc"]
+        if out["ovf"] is not None and bool(np.asarray(out["ovf"])):
+            out = integ.render_pass_driver(
+                0, spp, spp=spp_step, acc_w=acc_w, acc_u=acc_u, w_w=w_w,
+                w_u=0.0, spp_total=spp + spp_step, rays_acc=rays_acc,
+                ground_truth=gt, force_full=True,
+            )
+            acc_w, acc_u, rays_acc = (
+                out["acc_w"], out["acc_u"], out["rays_acc"],
+            )
+        jax.block_until_ready(out["mse"])
+        spp += spp_step
+        if i >= 2:  # first two passes warm probe + frozen-plan programs
+            ts.append(time.perf_counter() - t0)
+    return ts, float(np.asarray(rays_acc)) / (n_timed + 2)
+
+
+def bench_pt_driver(scene, n_timed=8):
+    """PT throughput under the production driver protocol (fused post
+    pass: moments + develop + accumulate + metrics on device, one
+    blocking read per pass — what drivers/baseline.py actually runs)."""
+    from practical_path_guiding_lab_tpu.render.integrator import (
+        PathTracingIntegrator,
+    )
+
+    integ = PathTracingIntegrator(scene)
+    ts, rays = _drive_passes(integ, None, n_timed, 0)
+    med = float(np.median(ts))
+    return {**_stats(ts), "mrays_median": round(rays / med / 1e6, 3)}
+
+
+def bench_guided_driver(scene, n_timed=6, tree_path=None):
+    """Guided train-pass throughput under the production driver protocol.
+    With ``tree_path``: production-scale saved tree (deep section);
+    otherwise trains iterations 1-2 first (small-tree section)."""
+    from practical_path_guiding_lab_tpu.render.integrator import (
+        PathGuidingIntegrator,
+    )
+
+    integ = PathGuidingIntegrator(scene)
+    integ.setup()
+    if tree_path is None:
+        spp = 0
+        for iteration, passes in ((1, 4), (2, 8)):
+            integ.setIteration(iteration, False)
+            for _ in range(passes):
+                integ.render_pass(0, spp)
+                spp += 1
+            integ.refineAndPrepareSDTreeForNextIteration()
+        integ.setIteration(3, False)
+        spp0 = spp
+    else:
+        integ.loadSDTreeFromFile(tree_path)
+        integ.setIteration(5, False)
+        spp0 = 1000
+    ts, rays = _drive_passes(integ, None, n_timed, spp0)
+    med = float(np.median(ts))
+    out = {**_stats(ts), "mrays_median": round(rays / med / 1e6, 3)}
+    if tree_path is not None:
+        integ.free_device_tree()
+    return out
+
+
 def bench_guided_deep(scene, n_timed=6):
     """Guided passes against a PRODUCTION-SCALE saved tree (a committed
     late-iteration npz — kd-C=2500 veach-ajar iteration 5, 46.9k kd /
@@ -145,20 +229,66 @@ def bench_guided_deep(scene, n_timed=6):
     return out
 
 
-def main():
+def _load_scene():
     from practical_path_guiding_lab_tpu.scene import load_file
     from practical_path_guiding_lab_tpu.scene.scene import compile_scene
-
     from practical_path_guiding_lab_tpu.drivers.config import scene_path as _sp
 
-    scene_path = str(_sp("veach-ajar"))
-    desc = load_file(scene_path, resx=1280, resy=720)
-    scene = compile_scene(desc)
+    desc = load_file(str(_sp("veach-ajar")), resx=1280, resy=720)
+    return compile_scene(desc)
+
+
+def _refexact_section():
+    """Subprocess entry (bench.py --refexact): guided driver-grade train
+    passes under the REFERENCE-EXACT constant bsdfSamplingFraction
+    (PPG_ADAPTIVE_FRACTION=0, path_guiding_integrator.py:223), so guided
+    cross-round comparisons aren't confounded by the adaptive-fraction
+    policy knob (round-4 verdict weak-item 7). Run as a subprocess
+    because the policy is baked at trace time."""
+    scene = _load_scene()
+    print(json.dumps(bench_guided_driver(scene)))
+
+
+def main():
+    scene = _load_scene()
 
     pt, _ = bench_pt(scene)
     pt4, _ = bench_pt(scene, n_passes=8, spp=4)
     train, final = bench_guided(scene)
     deep = bench_guided_deep(scene)
+    # driver-grade sections: the production protocol (fused post pass,
+    # deferred overflow, ONE blocking read per pass) on both integrators —
+    # the legacy sections above keep cross-round comparability, these
+    # measure what drivers/train.py and drivers/baseline.py actually pay
+    pt_drv = bench_pt_driver(scene)
+    train_drv = bench_guided_driver(scene)
+    from practical_path_guiding_lab_tpu import knobs as _knobs
+    from pathlib import Path as _Path
+
+    deep_path = _knobs.get("PPG_BENCH_DEEP_TREE")
+    deep_drv = (
+        bench_guided_driver(scene, tree_path=deep_path)
+        if _Path(deep_path).exists() else None
+    )
+    # reference-exact fraction policy (constant 0.5) in a subprocess (the
+    # policy is baked at trace time; a fresh process gets a fresh jit)
+    import subprocess
+
+    refexact = None
+    try:
+        env = dict(os.environ, PPG_ADAPTIVE_FRACTION="0")
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--refexact"],
+            capture_output=True, text=True, timeout=2400, env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        for line in reversed(r.stdout.strip().splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                refexact = json.loads(line)
+                break
+    except Exception:
+        pass
 
     out = {
         "metric": "veach-ajar Mrays/sec/chip (wavefront PT, 1280x720)",
@@ -172,15 +302,33 @@ def main():
         "guided_train_vs_pt_s": round(
             train["s_median"] / pt["s_median"], 3
         ),
+        "pt_driver": pt_drv,
+        "guided_train_driver": train_drv,
+        "guided_train_vs_pt_driver_s": round(
+            train_drv["s_median"] / pt_drv["s_median"], 3
+        ),
     }
+    if refexact is not None:
+        out["guided_train_driver_refexact"] = refexact
+        out["guided_refexact_vs_pt_driver_s"] = round(
+            refexact["s_median"] / pt_drv["s_median"], 3
+        )
     if deep is not None:
         out["guided_deep_train"] = deep["train"]
         out["guided_deep_final"] = deep["final"]
         out["guided_deep_train_vs_pt_s"] = round(
             deep["train"]["s_median"] / pt["s_median"], 3
         )
+    if deep_drv is not None:
+        out["guided_deep_train_driver"] = deep_drv
+        out["guided_deep_train_vs_pt_driver_s"] = round(
+            deep_drv["s_median"] / pt_drv["s_median"], 3
+        )
     print(json.dumps(out))
 
 
 if __name__ == "__main__":
-    main()
+    if "--refexact" in sys.argv:
+        _refexact_section()
+    else:
+        main()

@@ -76,6 +76,11 @@ class RepeatConfig:
     # metric-row cadence: the reference records a row EVERY pass
     # (repeat_high_spp_renderer.py:149-163); raise to thin the CSVs
     record_every: int = 1
+    # samples per wavefront dispatch (repeat renders record-off, so
+    # multi-spp dispatches are bitwise-equal to sequential 1-spp passes
+    # via rng.spp_fold; amortizes the per-dispatch round trip at small
+    # films). Must divide record_every when record_every > 1.
+    dispatch: int = 1
 
 
 def scene_path(name: str) -> Path:

@@ -51,10 +51,16 @@ def do_full_simulation(cfg: RepeatConfig, scene, gt, sim_index: int):
 
         t0 = time.perf_counter()
         theoretical_iter_spp = 2 ** (iteration + 2)
-        for p in range(cfg.iter_spp):
-            integ.render_pass(cfg.initial_seed + sim_index * 131071, p)
-            spp = p + 1
-            if (p + 1) % cfg.record_every == 0 or p == cfg.iter_spp - 1:
+        k = max(1, cfg.dispatch)
+        p = 0
+        while p < cfg.iter_spp:
+            step = min(k, cfg.iter_spp - p)
+            integ.render_pass(
+                cfg.initial_seed + sim_index * 131071, p, spp=step
+            )
+            p += step
+            spp = p
+            if p % cfg.record_every == 0 or p == cfg.iter_spp:
                 elapse = time.perf_counter() - t0 + cumm_time
                 variance_rec.append(
                     time=elapse, spp=spp,
@@ -130,6 +136,11 @@ if __name__ == "__main__":
         "--record-every", type=int, default=1,
         help="metric-row cadence in passes (reference: every pass)",
     )
+    ap.add_argument(
+        "--dispatch", type=int, default=1,
+        help="spp per wavefront dispatch (bitwise-equal to sequential "
+        "1-spp passes; amortizes round trips at small films)",
+    )
     ap.add_argument("--out", default="debug", help="output root directory")
     ap.add_argument("--resx", type=int, default=None)
     ap.add_argument("--resy", type=int, default=None)
@@ -141,6 +152,7 @@ if __name__ == "__main__":
             iter_spp=args.spp,
             total_simulations=args.sims,
             record_every=args.record_every,
+            dispatch=args.dispatch,
             out_root=args.out or "debug",
             scene_overrides={
                 k: v

@@ -249,13 +249,16 @@ def train(cfg: TrainConfig):
         # slice, main.py:218). PPG_FINAL_DISPATCH restores wider ones.
         final_dispatch = max(1, knobs.get_int("PPG_FINAL_DISPATCH"))
 
-        # Fused per-pass path (single-device): one render dispatch + one
-        # post dispatch per sub-pass, metric scalars deferred on device
-        # and fetched once per iteration (same rows, same timestamps
-        # modulo the removed per-pass round trips — the reference's
-        # metrics are device reductions too, main.py:208-265). Mesh /
-        # stepped modes keep the legacy per-call loop.
-        use_fused = integrator.mesh is None and not integrator._stepped
+        # Fused per-pass path: one render dispatch + one post dispatch
+        # per sub-pass, metric scalars deferred on device and fetched
+        # once per iteration (same rows, same timestamps modulo the
+        # removed per-pass round trips — the reference's metrics are
+        # device reductions too, main.py:208-265). Mesh mode rides the
+        # same protocol via sharded trace/post programs (round-4 verdict
+        # item 6); only the stepped backend keeps the legacy loop.
+        use_fused = not integrator._stepped
+        if integrator.mesh is not None:
+            final_dispatch = 1  # mesh driver passes are 1 spp/dispatch
         if use_fused:
             import jax as _jax
             import jax.numpy as _jnp

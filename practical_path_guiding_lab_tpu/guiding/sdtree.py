@@ -2261,27 +2261,17 @@ _TAIL_CAP = None
 
 
 def _tail_cap(m: int) -> int:
+    """Compacted-tail capacity. Small: the deep-tree profile (round 5)
+    measured the tail at 211 ms/pass of which ~90 ms was the compacted
+    descent's gathers at the old m//8 cap (230k rows for ~700 needy
+    lanes); at m//64 those shrink ~8x while the 64x headroom over
+    observed need keeps the full-width fallback (measured 1.6 s/pass —
+    gather issue cost does NOT drop for masked row-0 lanes at this
+    scale) essentially unreachable. The rank scatter over m lanes is the
+    remaining fixed cost."""
     if _TAIL_CAP is not None:
         return min(int(_TAIL_CAP), m)
-    return min(max(m // 8, 1024), m)
-
-
-_TAIL_SPARSE = None  # test override
-
-
-def _tail_sparse_min(m: int) -> int:
-    """Below this many needy lanes the compacted tail LOSES to the plain
-    masked full-width descent: the compaction pays a rank cumsum +
-    full-width scatter (~20-35 ms at the 1.8M-lane pdf chain) no matter
-    how few lanes need it, while the full-width descent's per-step row
-    gather is masked to row 0 on resolved lanes (pruned HBM reads) and
-    the loop exits after max-residual-depth steps. Measured on the
-    7.43M-node deep tree: the tail machinery cost 211 ms/pass for ~1e-3
-    needy lanes (round-5 profile) — the compact path's fixed costs
-    inverted its own optimization."""
-    if _TAIL_SPARSE is not None:
-        return int(_TAIL_SPARSE)
-    return max(m // 64, 8192)
+    return min(max(m // 64, 8192), m)
 
 
 def _compact_tail(need, m, cap, gather_arrays):
@@ -2392,10 +2382,7 @@ def quad_pdf_leaf_fast2(tree: SDTreeDevice, slot, srow, xy, ok=None):
 
         def tail(_):
             n_need = jnp.sum(need.astype(jnp.int32))
-            return jax.lax.cond(
-                (n_need > _tail_sparse_min(m)) & (n_need <= cap),
-                tail_compact, tail_full, None,
-            )
+            return jax.lax.cond(n_need <= cap, tail_compact, tail_full, None)
     else:
         tail = tail_full
 
@@ -2475,10 +2462,7 @@ def quad_leaf_lookup_fast2(tree: SDTreeDevice, slot, xy):
 
         def tail(_):
             n_need = jnp.sum(need.astype(jnp.int32))
-            return jax.lax.cond(
-                (n_need > _tail_sparse_min(m)) & (n_need <= cap),
-                tail_compact, tail_full, None,
-            )
+            return jax.lax.cond(n_need <= cap, tail_compact, tail_full, None)
     else:
         tail = tail_full
 

@@ -313,10 +313,49 @@ class PathGuidingIntegrator:
         row_widths = None
         ovf = None
         gate = jnp.float32(1.0)
-        if self.mesh is not None or self._stepped:
+        if self._stepped:
             raise RuntimeError(
-                "render_pass_driver: mesh/stepped modes use render_pass"
+                "render_pass_driver: stepped mode uses render_pass"
             )
+        if self.mesh is not None:
+            # mesh mode rides the SAME fused protocol: one sharded trace
+            # (+ in-shard splat with psum'd tree deltas, device-local film
+            # moments) + one sharded post (halo-exchanged film splat,
+            # psum'd metric scalars) — SURVEY.md section 2.3(b); round-4
+            # verdict item 6 (mesh previously fell back to the legacy
+            # ~10-round-trip per-pass loop)
+            from ..parallel.sharding import (
+                guided_pass_sharded, guided_post_sharded,
+            )
+
+            if spp != 1:
+                raise ValueError("mesh driver pass is 1 spp per dispatch")
+            L, px, py, rays, tree2, (self.sum_l, self.sum_l2) = (
+                guided_pass_sharded(
+                    self.scene, self.dev_tree, self.mesh, seed0, cumm_spp,
+                    self.iteration, record=record,
+                    bsdf_fraction=self.bsdf_sampling_fraction,
+                    sum_l=self.sum_l, sum_l2=self.sum_l2,
+                )
+            )
+            if tree2 is not None:
+                self.dev_tree = tree2
+            gt = (
+                self._gt_device(ground_truth)
+                if ground_truth is not None else None
+            )
+            img, acc_w, acc_u, var_self, var_gt, mse, rays_acc = (
+                guided_post_sharded(
+                    self.scene, self.mesh, L, px, py, self.sum_l,
+                    self.sum_l2, acc_w, acc_u, w_w, w_u, spp_total,
+                    rays_acc, rays, gt=gt,
+                )
+            )
+            return {
+                "img": img, "acc_w": acc_w, "acc_u": acc_u,
+                "var": var_self, "var_gt": var_gt, "mse": mse,
+                "rays_acc": rays_acc, "ovf": None,
+            }
         if pt_mod.cascade_enabled():
             n_total = self.scene.camera.width * self.scene.camera.height * spp
             key = (

@@ -356,17 +356,16 @@ def test_residual_tail_compaction_matches_descent(rng_np):
     pdf_ref = np.asarray(sd.quad_pdf_descent(dev, root_ref, xy))
     leaf_ref = np.asarray(sd.quad_leaf_lookup_descent(dev, root_ref, xy))
 
-    # default heuristic (sparse tail -> masked full-width descent);
-    # forced-compact (cap < m > n_need, sparse gate lowered); forced
+    # default heuristic cap; forced-compact (cap < m, > n_need); forced
     # overflow (cap smaller than the needy count -> full-width fallback)
-    for cap, sparse in ((None, None), (1536, 0), (8, 0)):
-        old, olds = sd._TAIL_CAP, sd._TAIL_SPARSE
-        sd._TAIL_CAP, sd._TAIL_SPARSE = cap, sparse
+    for cap in (None, 1536, 8):
+        old = sd._TAIL_CAP
+        sd._TAIL_CAP = cap
         try:
             pdf_g, leaf_pl = sd.quad_pdf_leaf_fast2(dev, slot, srow, xy)
             leaf_g = sd.quad_leaf_lookup_fast2(dev, slot, xy)
         finally:
-            sd._TAIL_CAP, sd._TAIL_SPARSE = old, olds
+            sd._TAIL_CAP = old
         assert np.allclose(np.asarray(pdf_g), pdf_ref, rtol=1e-4,
                            atol=1e-6), f"cap={cap}"
         assert (np.asarray(leaf_pl) == leaf_ref).all(), f"cap={cap}"
