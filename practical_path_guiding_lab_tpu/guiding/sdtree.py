@@ -98,20 +98,25 @@ class SDTreeDevice:
     # (node_f: the leaf's quad NODE id as f32 — exact below 2^24 — so the
     # sampler returns the leaf it picked for free, for splat capture)
     leaf_geom: jnp.ndarray = None     # (NQ, 5) float32
-    # per-(slot, grid cell) INTERLEAVED flat [pdf_enc, node_enc] pairs:
-    # cell i's pair lives at [2i, 2i+1]. 1-D gathers only — an (M,2) row
-    # gather gets XLA layout {1,0:T(8,128)} (64x last-dim padding), which
-    # at the splat's 24M-lane stream is an 11.4 GB temp -> compile OOM on
-    # TPU; two 1-D taps at adjacent addresses share the cache line.
+    # per-(slot, grid cell) [pdf_enc, node_enc] pair in TWO flat 1-D
+    # tables (SPLIT, round 5): 1-D gathers only — an (M,2) row gather
+    # gets XLA layout {1,0:T(8,128)} (64x last-dim padding -> multi-GB
+    # temps at splat scale), and the formerly-interleaved single table
+    # crossed the >=256 MB gather cliff (~1.65x per tap,
+    # tools/profile_gather_bigtable.py) at deep trees while the engine
+    # exploits no cache locality anyway (clustered == uniform indices) —
+    # two half-size tables keep each tap below the cliff.
     # enc >= 0 -> final value (covering node is a leaf); enc < 0 ->
     # -(sub_idx+1) into the level-2 subgrid pool. The zero-flux
     # uniform-pdf fallback is applied at query time from srow's root_irr
     # (the leaf id stays structural).
-    grid_pl: jnp.ndarray = None       # (R * 4^GRID_L * 2,) float32
+    grid_v: jnp.ndarray = None        # (R * 4^GRID_L,) float32 pdf_enc
+    grid_g: jnp.ndarray = None        # (R * 4^GRID_L,) float32 node_enc
     # level-2 subgrid pool (4^SUB_L cells per entry, covering quad depths
-    # (GRID_L, GRID_L+SUB_L]): same interleaved encoding, < 0 ->
-    # -(node+1) residual descent from depth GRID_L+SUB_L (rare)
-    sub_pl: jnp.ndarray = None        # (SUBCAP * 4^SUB_L * 2,) float32
+    # (GRID_L, GRID_L+SUB_L]): same encoding, < 0 -> -(node+1) residual
+    # descent from depth GRID_L+SUB_L (rare)
+    sub_v: jnp.ndarray = None         # (SUBCAP * 4^SUB_L,) float32
+    sub_g: jnp.ndarray = None         # (SUBCAP * 4^SUB_L,) float32
     # packed quad node row for residual descents:
     # [c0..c3, irr_kid0..3, depth, irr]
     q_pack: jnp.ndarray = None        # (NQ, 10) float32
@@ -570,42 +575,13 @@ def splat(tree: SDTreeDevice, p, xy, value, weight, nee_xy=None, nee_value=None,
 from functools import partial
 
 
-_ILV_K = 128
-
-
-def _interleave2(v, g):
-    """Interleave two 1-D f32 arrays -> [v0, g0, v1, g1, ...].
-
-    MXU-native: two one-hot matmuls with even/odd column-spread matrices.
-    The obvious ``stack(axis=-1).reshape(-1)`` materializes an
-    (..., 2)-minor temp whose TPU tile layout pads the last dim 2 -> 128
-    (64x expansion) — observed as a 16 GB HLO temp / compile OOM deriving
-    sub_pl at kd split C=2000 (131072x256x2); a 1-D interior-pad form
-    compiled >10 min at 33.5M elements on the TPU backend (hang). One-hot
-    matmuls at HIGHEST precision are exact (each output is x*1 + 0s; see
-    core.math.small_table_gather) and cost ~1 ms of MXU time here.
-    Lengths must be multiples of _ILV_K (both tables are)."""
-    k = _ILV_K
-    m = v.shape[0] // k
-    assert m * k == v.shape[0], v.shape
-    i = jnp.arange(k)
-    even = jnp.zeros((k, 2 * k), v.dtype).at[i, 2 * i].set(1.0)
-    odd = jnp.zeros((k, 2 * k), v.dtype).at[i, 2 * i + 1].set(1.0)
-    hi = jax.lax.Precision.HIGHEST
-    out = (
-        jnp.matmul(v.reshape(m, k), even, precision=hi)
-        + jnp.matmul(g.reshape(m, k), odd, precision=hi)
-    )
-    return out.reshape(-1)
-
-
 def _derive_device_tables(
     qc_flat, q_irr, q_depth, grid_node, leaf_cdf, leaf_node, leaf_lo,
     leaf_depth, root_leaf_off, slot_row, n_slots, *, sub_cap, sub_l,
     want_leaf_geom=True,
 ):
     """Device-side derivation of the five LARGE gather-diet tables
-    (q_pack, leaf_geom, leaf_geomp, grid_pl, sub_pl) from the minimal
+    (q_pack, leaf_geom, leaf_geomp, grid_v/g, sub_v/g) from the minimal
     structural arrays.
 
     Rationale (measured, docs/PERF_NOTES.md): these tables are ~550 MB of
@@ -770,9 +746,7 @@ def _derive_grid_sub(
         )
         g_val = jnp.where(live_row, g_val, zero)
         g_node = jnp.where(live_row, g_node, zero)
-        g_pieces.append(
-            _interleave2(g_val.reshape(-1), g_node.reshape(-1))
-        )
+        g_pieces.append((g_val.reshape(-1), g_node.reshape(-1)))
         # scatter this chunk's internal cells into the sub-pool sources
         sub_idx = jnp.where(flat_int, sub_of_cell.reshape(-1), sub_cap)
         start = start.at[sub_idx].set(gn_c.reshape(-1), mode="drop")
@@ -781,9 +755,11 @@ def _derive_grid_sub(
             mode="drop",
         )
         carry = carry + jnp.sum(flat_int.astype(jnp.int32))
-    grid_pl = (
-        g_pieces[0] if n_chunks == 1 else jnp.concatenate(g_pieces)
-    )
+    if n_chunks == 1:
+        grid_v, grid_g = g_pieces[0]
+    else:
+        grid_v = jnp.concatenate([v for v, _ in g_pieces])
+        grid_g = jnp.concatenate([g for _, g in g_pieces])
 
     # level-2 subgrids: expand each internal covering node down sub_l
     # levels, spatial [y][x] layout; quadrant of sub-half (hx, hy):
@@ -834,8 +810,7 @@ def _derive_grid_sub(
     live_sub = ~pad[fi // ncell]
     s_val = jnp.where(live_sub, s_val, zero)
     s_node = jnp.where(live_sub, s_node, zero)
-    sub_pl = _interleave2(s_val, s_node)
-    return dict(grid_pl=grid_pl, sub_pl=sub_pl)
+    return dict(grid_v=grid_v, grid_g=grid_g, sub_v=s_val, sub_g=s_node)
 
 
 # ===========================================================================
@@ -944,7 +919,7 @@ class SDTree:
         tables, leaf geometry rows, per-cell pdf grid, packed quad rows.
 
         ``big=False`` skips the five LARGE tables (leaf_geom, leaf_geomp,
-        q_pack, grid_pl, sub_pl — ~550 MB of the ~750 MB mirror on a
+        q_pack, grid_v/g, sub_v/g — ~550 MB of the ~750 MB mirror on a
         trained full-res tree) and returns only the small host-built
         tables plus the counts/tier the device-side deriver
         (``_derive_device_tables``) needs. The host build of the big
@@ -1137,17 +1112,19 @@ class SDTree:
         # fallback moved to query time (keeps node_enc structural)
         val = np.where(node_leaf, np.nan_to_num(pdf_leaf),
                        -(sub_of_cell + 1.0))
-        grid_pl = np.zeros((max_roots, cells, 2), np.float32)
+        grid_v = np.zeros((max_roots, cells), np.float32)
+        grid_g = np.zeros((max_roots, cells), np.float32)
         if n_slots:
-            grid_pl[:n_slots, :, 0] = val
-            grid_pl[:n_slots, :, 1] = np.where(
+            grid_v[:n_slots] = val
+            grid_g[:n_slots] = np.where(
                 node_leaf, gn, -(sub_of_cell + 1.0)
             )
 
         # level-2 subgrids: expand each internal covering node (depth
         # exactly GRID_L) down SUB_L levels, spatial [y][x] layout. Child
         # quadrant of sub-half (hx, hy): 0=(1,1) 1=(0,1) 2=(0,0) 3=(1,0).
-        sub_pl = np.zeros((sub_cap, sres * sres, 2), np.float32)
+        sub_v = np.zeros((sub_cap, sres * sres), np.float32)
+        sub_g = np.zeros((sub_cap, sres * sres), np.float32)
         if n_sub:
             cur = gn[internal].reshape(n_sub, 1, 1)
             for _ in range(SUB_L):
@@ -1169,16 +1146,17 @@ class SDTree:
                     * INV_FOUR_PI
                     / np.maximum(root_irr[slot_of_sub][:, None, None], 1e-30)
                 )
-            sub_pl[:n_sub, :, 0] = np.where(
+            sub_v[:n_sub] = np.where(
                 leaf_s, np.nan_to_num(pdf_s), -(cur + 1.0)
             ).reshape(n_sub, -1)
-            sub_pl[:n_sub, :, 1] = np.where(leaf_s, cur, -(cur + 1.0)).reshape(
+            sub_g[:n_sub] = np.where(leaf_s, cur, -(cur + 1.0)).reshape(
                 n_sub, -1
             )
 
         out.update(
             leaf_geomp=leaf_geomp, leaf_geom=leaf_geom,
-            grid_pl=grid_pl.reshape(-1), sub_pl=sub_pl.reshape(-1),
+            grid_v=grid_v.reshape(-1), grid_g=grid_g.reshape(-1),
+            sub_v=sub_v.reshape(-1), sub_g=sub_g.reshape(-1),
             q_pack=q_pack,
         )
         return out
@@ -1233,14 +1211,14 @@ class SDTree:
         else:
             big = {
                 k: jnp.asarray(fast2[k])
-                for k in ("q_pack", "leaf_geom", "leaf_geomp", "grid_pl",
-                          "sub_pl")
+                for k in ("q_pack", "leaf_geom", "leaf_geomp", "grid_v",
+                          "grid_g", "sub_v", "sub_g")
             }
         # slim production mirror (HBM diet, round-4 verdict item 2): every
         # table below is consumed ONLY by the descent oracles / hemisphere
         # oracle / legacy fast paths / device-derive inputs — the
         # production trace+splat run entirely on kd_grid_f / slot_row /
-        # hemi / alias_ab / leaf_geomp / grid_pl / sub_pl / q_pack /
+        # hemi / alias_ab / leaf_geomp / grid_v/g / sub_v/g / q_pack /
         # kd_slot_dev / accumulators. Dropping them saves ~1.3 GB at a
         # 16.7M-node kd-C=2000 veach-ajar tree (q_child 268 MB, leaf_geom
         # 335 MB, leaf_lo 134 MB, grid_node 134 MB, ...). Gated to BIG
@@ -1282,8 +1260,10 @@ class SDTree:
             alias_ab=jnp.asarray(fast2["alias_ab"]),
             leaf_geomp=big["leaf_geomp"],
             leaf_geom=None if slim else big.get("leaf_geom"),
-            grid_pl=big["grid_pl"],
-            sub_pl=big["sub_pl"],
+            grid_v=big["grid_v"],
+            grid_g=big["grid_g"],
+            sub_v=big["sub_v"],
+            sub_g=big["sub_g"],
             q_pack=big["q_pack"],
             kd_ext=jnp.asarray(fast2["kd_ext"]),
             kd_slot_dev=jnp.asarray(kd_slot_np),
@@ -2230,22 +2210,10 @@ def _two_level_cells(tree: SDTreeDevice, xy):
     return cy * res + cx, sy * sres + sx
 
 
-# TPU pads the minor dim of an (M,2) gather operand 2 -> 128 (T(8,128)
-# tiling): the relayout temp is rows * 512 B. Row gathers beat two 1-D
-# taps (42 vs 75 ms per pair at 1.8M lanes) so use them while the padded
-# operand is affordable; past the budget fall back to interleaved taps —
-# at kd C=2000 the sub pool reaches 33.5M pairs = a 16 GB temp (compile
-# OOM), and the default-C full-res tree reaches 8.4M grid pairs (4.3 GB).
-_PAIR_ROW_PAD_BUDGET = 1536 * 1024 * 1024
-
-
-def _pair_taps(table, idx):
-    """Fetch the [v, g] pair at row ``idx`` of an interleaved flat table."""
-    rows = table.shape[0] // 2
-    if rows * 512 <= _PAIR_ROW_PAD_BUDGET:
-        r = table.reshape(-1, 2)[idx]
-        return r[..., 0], r[..., 1]
-    return table[2 * idx], table[2 * idx + 1]
+def _pair_taps(tv, tg, idx):
+    """Fetch the [v, g] pair at row ``idx`` of the SPLIT pair tables
+    (one 1-D tap each — see the grid_v/grid_g field comment)."""
+    return tv[idx], tg[idx]
 
 
 # Residual-descent tail compaction: lanes unresolved by the two-level
@@ -2305,11 +2273,11 @@ def quad_pdf_leaf_fast2(tree: SDTreeDevice, slot, srow, xy, ok=None):
     gidx = jnp.maximum(slot, 0) * (res * res) + cell
     if ok is not None:
         gidx = jnp.where(ok, gidx, 0)
-    v, g = _pair_taps(tree.grid_pl, gidx)
+    v, g = _pair_taps(tree.grid_v, tree.grid_g, gidx)
     done0 = g >= 0
     if ok is not None:
         done0 = done0 | ~ok   # masked lanes never take the residual tail
-    sub_cap = tree.sub_pl.shape[0] // (2 * sres * sres)
+    sub_cap = tree.sub_g.shape[0] // (sres * sres)
     sub = jnp.clip((-g).astype(jnp.int32) - 1, 0, sub_cap - 1)
     sidx = sub * (sres * sres) + subcell
     # lanes resolved at level 1 (or masked) read row 0 — most cells
@@ -2317,7 +2285,7 @@ def quad_pdf_leaf_fast2(tree: SDTreeDevice, slot, srow, xy, ok=None):
     sidx = jnp.where(done0, 0, sidx)
     if ok is not None:
         sidx = jnp.where(ok, sidx, 0)
-    v2, g2 = _pair_taps(tree.sub_pl, sidx)
+    v2, g2 = _pair_taps(tree.sub_v, tree.sub_g, sidx)
     done1 = done0 | (g2 >= 0)
     pdf01 = jnp.where(done0, jnp.maximum(v, 0.0), jnp.maximum(v2, 0.0))
     leaf01 = jnp.where(done0, g, jnp.maximum(g2, 0.0)).astype(jnp.int32)
@@ -2413,15 +2381,14 @@ def quad_leaf_lookup_fast2(tree: SDTreeDevice, slot, xy):
     res = 1 << tree.grid_l
     sres = 1 << tree.sub_l
     cell, subcell = _two_level_cells(tree, xy)
-    # single 1-D taps here, NOT (M,2) row gathers: this runs at splat
-    # scale (up to 2*V ~ 24M lanes) where the padded (M,2) gather output
-    # layout materializes a multi-GB temp (see PERF_NOTES: splat OOM)
-    g = tree.grid_pl[2 * (jnp.maximum(slot, 0) * (res * res) + cell) + 1]
+    # node-table taps only (the pdf column is not needed for point
+    # location); runs at splat scale (up to 2*V ~ 24M lanes)
+    g = tree.grid_g[jnp.maximum(slot, 0) * (res * res) + cell]
     done0 = g >= 0
-    sub_cap = tree.sub_pl.shape[0] // (2 * sres * sres)
+    sub_cap = tree.sub_g.shape[0] // (sres * sres)
     sub = jnp.clip((-g).astype(jnp.int32) - 1, 0, sub_cap - 1)
     sidx = jnp.where(done0, 0, sub * (sres * sres) + subcell)
-    n2 = tree.sub_pl[2 * sidx + 1]
+    n2 = tree.sub_g[sidx]
     done1 = done0 | (n2 >= 0)
     node01 = jnp.where(done0, g, jnp.maximum(n2, 0.0)).astype(jnp.int32)
     # internal at grid_l+sub_l; done lanes pinned to row 0 (see

@@ -138,7 +138,7 @@ class PathGuidingIntegrator:
 
         big = [
             a for a in (
-                self.dev_tree.grid_pl, self.dev_tree.sub_pl,
+                self.dev_tree.grid_v, self.dev_tree.sub_v,
                 self.dev_tree.q_pack, self.dev_tree.leaf_geomp,
             ) if a is not None
         ]

@@ -112,6 +112,7 @@ def test_invvar_combine_synthetic():
     assert invvar_combine([]) is None
 
 
+@pytest.mark.slow
 def test_repeat_driver(train_run):
     _, out = train_run
     cfg = RepeatConfig(

@@ -2,6 +2,7 @@
 rfilter plugins — box/tent/gaussian as configured per scene, e.g.
 scenes/torus/scene.xml:14)."""
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from practical_path_guiding_lab_tpu.render.film import splat_filtered
@@ -70,6 +71,7 @@ def test_box_is_nearest_pixel():
     assert wgt[0, 2] == 1.0 and wgt[7, 6] == 1.0 and wgt.sum() == 2.0
 
 
+@pytest.mark.slow
 def test_aligned_splat_matches_scatter():
     """splat_filtered_aligned on pixel-major jittered lanes is numerically
     identical to the scatter-based splat_filtered (incl. off-film drops)."""

@@ -31,6 +31,7 @@ def _render(integ, iteration, spp, seed):
     return np.asarray(acc) / spp
 
 
+@pytest.mark.slow
 def test_guided_unbiased(trained):
     """Guided and unguided renders must agree in the mean (the guided bias
     bug class this guards: quadrant/pdf inconsistencies)."""
@@ -52,6 +53,7 @@ def test_tree_refined(trained):
     assert trained.tree_prev.kd_count == t.kd_count
 
 
+@pytest.mark.slow
 def test_guided_variance_not_worse(trained):
     """With a trained tree, guided sampling should not increase variance on
     this diffuse scene (usually decreases it)."""
@@ -130,6 +132,7 @@ def test_process_and_splat_numpy_oracle():
     assert abs(got_irr - exp_irr) < 1e-3 * max(exp_irr, 1.0)
 
 
+@pytest.mark.slow
 def test_splat_capture_matches_lookups(trained, cornell_small):
     """Trace-time-captured splat targets (kd leaf, quad leaf of the
     recorded and NEE directions) must reproduce the splat-time lookup
@@ -167,6 +170,7 @@ def test_splat_capture_matches_lookups(trained, cornell_small):
     )
 
 
+@pytest.mark.slow
 def test_splat_dir_filter_conserves_mass(trained, cornell_small):
     """PPG_SPLAT_FILTER=dir: the directional box filter redistributes each
     record's energy among neighboring quad cells but must (a) leave the kd
@@ -209,6 +213,7 @@ def test_splat_dir_filter_conserves_mass(trained, cornell_small):
     assert moved > 0
 
 
+@pytest.mark.slow
 def test_slim_records_match_full_reconstruction(cornell_small):
     """The production trace records folded splat coefficients
     (value = dot(L_final, ca) - b) instead of the raw radiometric fields;
@@ -278,6 +283,7 @@ def test_slim_records_match_full_reconstruction(cornell_small):
     assert np.abs(vf - vs).sum() <= 1e-3 * max(vf.sum(), 1.0)
 
 
+@pytest.mark.slow
 def test_sliced_splat_matches_full_width(cornell_small):
     """Cascade-sliced splat (static per-depth row widths) must produce
     exactly the full-width splat's accumulators: the sliced-away row tails

@@ -59,6 +59,7 @@ def _surface_point(scene, n):
     return jax.tree.map(lambda a: jnp.repeat(a[0:1], n, axis=0), si)
 
 
+@pytest.mark.slow
 def test_tree_pdf_integrates_to_one(trained_tree):
     scene, tree = trained_tree
     n = 1 << 17
@@ -71,6 +72,7 @@ def test_tree_pdf_integrates_to_one(trained_tree):
     assert abs(integral - 1.0) < 0.02, integral
 
 
+@pytest.mark.slow
 def test_mixture_sampler_pdf_consistency(trained_tree):
     scene, tree = trained_tree
     n = 1 << 17

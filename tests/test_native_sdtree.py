@@ -5,6 +5,7 @@ import jax.numpy as jnp
 
 from practical_path_guiding_lab_tpu.guiding import native
 from practical_path_guiding_lab_tpu.guiding import sdtree as sd
+import pytest
 
 
 def _make_trained(use_native: bool, seed=3, n=40000):
@@ -34,6 +35,7 @@ def _make_trained(use_native: bool, seed=3, n=40000):
     return t
 
 
+@pytest.mark.slow
 def test_native_matches_python_refine():
     if native.load() is None:
         import pytest

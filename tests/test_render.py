@@ -35,6 +35,7 @@ def test_occlusion(cornell_small):
     assert not bool(occluded(s, o, d, jnp.asarray([0.5]))[0])
 
 
+@pytest.mark.slow
 def test_cornell_golden_mse(cornell_small):
     """Render 64x64 @ 16spp; luminance must match the Tungsten GT closely
     (statistical oracle, reference main.py:38-41 + computeMSE)."""
@@ -83,6 +84,7 @@ def test_rr_modes(monkeypatch):
     assert np.allclose(np.asarray(tp_c2), 0.1)  # 0.01 / 0.1 floor
 
 
+@pytest.mark.slow
 def test_multi_spp_single_dispatch(cornell_small):
     """spp>1 traces all samples in one wavefront; statistics must match
     the equivalent 1-spp pass loop (different RNG streams, same mean)."""
@@ -145,6 +147,7 @@ def test_multispp_dispatch_matches_sequential_passes():
         )
 
 
+@pytest.mark.slow
 def test_cascade_matches_full_width(cornell_small):
     """Wavefront-shrink cascade: segmented shrinking dispatch must be
     radiance-identical to the full-width while_loop (lanes are keyed by
@@ -195,6 +198,7 @@ def test_cascade_auto_wrapper(cornell_small):
     np.testing.assert_array_equal(np.asarray(L2), np.asarray(L_ref))
 
 
+@pytest.mark.slow
 def test_cascade_guided_matches(cornell_small):
     """Guided wavefront cascade: radiance AND record streams must be
     identical to the full-width pass (records carry explicit lane ids;

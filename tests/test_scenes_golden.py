@@ -83,6 +83,7 @@ def test_teapot_v3_golden():
     assert lo < ratio < hi, f"brightness ratio {ratio}"
 
 
+@pytest.mark.slow
 def test_veach_bidir_golden():
     """OBJ meshes + dielectric + hard indirect (lamp) transport."""
     img, gt = _render("veach-bidir", "scene.xml", 64, 64, 16)
@@ -93,6 +94,7 @@ def test_veach_bidir_golden():
     assert corr > 0.87, f"correlation {corr}"  # measured 0.915
 
 
+@pytest.mark.slow
 def test_veach_ajar_golden():
     """Textured scene, ggx conductors, strong light through a door gap.
     (Pot meshes are unfetched blobs — both we and the reference render
@@ -104,6 +106,7 @@ def test_veach_ajar_golden():
     assert corr > 0.70, f"correlation {corr}"  # measured 0.756
 
 
+@pytest.mark.slow
 def test_torus_renders():
     """No GT EXR in the corpus (unfetched blob); smoke-check energy and
     NaN-freeness of the serialized-mesh + roughdielectric + directional
@@ -119,6 +122,7 @@ def test_torus_renders():
     assert img.mean() > 0.01
 
 
+@pytest.mark.slow
 def test_torus_filter_regression():
     """Tent/gaussian reconstruction-filter image regression (no GT in the
     corpus): deterministic seed-0 pass statistics recorded 2026-08-17.

@@ -206,6 +206,7 @@ def test_npz_roundtrip(tmp_path):
     assert np.array_equal(np.asarray(r1), np.asarray(r2))
 
 
+@pytest.mark.slow
 def test_fast_tables_match_descent():
     """The flattened-table fast paths (grid point location + leaf-CDF
     sampling) must match the reference descent implementations exactly in
@@ -254,6 +255,7 @@ def test_fast_tables_match_descent():
     assert abs(integral - 1.0) < 0.05
 
 
+@pytest.mark.slow
 def test_refine_auto_grows_capacity():
     """Refinement must survive overflowing the preallocated node pools by
     growing them (the full-res veach-ajar run overflowed 2^21 quad nodes
@@ -285,6 +287,7 @@ def test_refine_auto_grows_capacity():
     assert np.all(np.isfinite(np.asarray(pdf)))
 
 
+@pytest.mark.slow
 def test_fast_tables_deep_tree_exact():
     """Regression: leaves DEEPER than the 32x32 point-location grid must not
     clobber their cell's stamped ancestor. Build a tree refined well past
@@ -320,6 +323,7 @@ def test_fast_tables_deep_tree_exact():
     assert np.allclose(pdf_f, pdf_d, rtol=2e-3, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_residual_tail_compaction_matches_descent(rng_np):
     """Deep quad trees (depth > grid_l+sub_l) exercise the residual
     descent tail; the compacted tail (rank-scatter into a fixed cap
@@ -372,6 +376,7 @@ def test_residual_tail_compaction_matches_descent(rng_np):
         assert (np.asarray(leaf_g) == leaf_ref).all(), f"cap={cap}"
 
 
+@pytest.mark.slow
 def test_fast2_paths_match_descent(rng_np):
     """Gather-diet device paths (dense kd grid, alias sampling, grid pdf,
     packed-row point location) vs the reference descents."""
@@ -533,8 +538,8 @@ def test_masked_tree_gathers_match_unmasked(rng_np):
 
 
 def test_device_derived_tables_match_host_build(rng_np):
-    """The five big device tables (q_pack, leaf_geom, leaf_geomp, grid_pl,
-    sub_pl) are derived ON DEVICE from the structural arrays in
+    """The big device tables (q_pack, leaf_geom, leaf_geomp, grid_v/g,
+    sub_v/g) are derived ON DEVICE from the structural arrays in
     production (to_device); the host builder is the reference. Structural
     encodings must be exact; pdf columns agree to f32 rounding (host
     computes in f64)."""
@@ -576,7 +581,7 @@ def test_device_derived_tables_match_host_build(rng_np):
         sub_cap=host["sub_cap"],
         sub_l=sd.SUB_L,
     )
-    for k in ("q_pack", "leaf_geom", "grid_pl", "sub_pl"):
+    for k in ("q_pack", "leaf_geom", "grid_v", "grid_g", "sub_v", "sub_g"):
         np.testing.assert_allclose(
             np.asarray(der[k]), host[k], rtol=3e-6, atol=1e-8, err_msg=k
         )
@@ -801,6 +806,7 @@ def test_slim_mirror_bitwise_equals_full(rng_np, monkeypatch):
         ).all()
 
 
+@pytest.mark.slow
 def test_grid_derive_chunked_matches_unchunked(rng_np, monkeypatch):
     """The grid phase of _derive_grid_sub is chunked over slot rows (HBM
     plan at big slot tiers); the chunked path (incl. the cross-chunk
@@ -839,5 +845,7 @@ def test_grid_derive_chunked_matches_unchunked(rng_np, monkeypatch):
     assert tables["grid_node"].shape[0] > 4  # sanity: chunking will kick in
     monkeypatch.setattr(sd, "_GRID_CHUNK_ROWS", 4)
     many = fn(*args, **kw)
-    assert (np.asarray(one["grid_pl"]) == np.asarray(many["grid_pl"])).all()
-    assert (np.asarray(one["sub_pl"]) == np.asarray(many["sub_pl"])).all()
+    assert (np.asarray(one["grid_v"]) == np.asarray(many["grid_v"])).all()
+    assert (np.asarray(one["grid_g"]) == np.asarray(many["grid_g"])).all()
+    assert (np.asarray(one["sub_v"]) == np.asarray(many["sub_v"])).all()
+    assert (np.asarray(one["sub_g"]) == np.asarray(many["sub_g"])).all()

@@ -75,7 +75,7 @@ def main():
 
     # raw gather cost scaling: 1 gather instruction at N and 2N lanes,
     # 1-wide and 16-wide rows
-    tbl1 = tree.grid_pl[0::2]
+    tbl1 = tree.grid_v
     tbl16 = tree.q_pack
     idxN = jax.random.randint(k1, (N,), 0, tbl1.shape[0])
     idx2N = jnp.concatenate([idxN, idxN[::-1]])
