@@ -157,3 +157,52 @@ def test_graft_entry_dryrun():
     out = jax.jit(fn)(*args)
     assert out.shape[1] == 3
     mod.dryrun_multichip(8)
+
+
+@pytest.mark.parametrize("rfilter", ["box", "tent", "gaussian"])
+def test_sharded_post_halo_matches_single(cornell_small, rfilter):
+    """The mesh driver's sharded post (shard-local film splat with
+    ppermute halo exchange) must reproduce the single-device aligned
+    splat + develop + metrics for every reconstruction filter — the
+    gaussian's radius-2 support spans half an 8-way shard of a 32-row
+    film, so every halo path is exercised."""
+    import jax.numpy as jnp
+
+    from practical_path_guiding_lab_tpu.parallel.sharding import (
+        guided_post_sharded,
+    )
+    from practical_path_guiding_lab_tpu.render import film as film_mod
+    from practical_path_guiding_lab_tpu.render import variance as var_mod
+
+    scene = cornell_small.replace(rfilter=rfilter)
+    w, h = scene.camera.width, scene.camera.height
+    n = w * h
+    rng = np.random.default_rng(7)
+    L = jnp.asarray(rng.random((n, 3)), jnp.float32)
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    px = jnp.asarray(xx.reshape(-1) + rng.random(n), jnp.float32)
+    py = jnp.asarray(yy.reshape(-1) + rng.random(n), jnp.float32)
+    sum_l = jnp.asarray(rng.random((n, 3)), jnp.float32)
+    sum_l2 = sum_l * sum_l + jnp.asarray(rng.random((n, 3)), jnp.float32)
+    gt = jnp.asarray(rng.random((n, 3)), jnp.float32)
+    acc_w = jnp.zeros((h, w, 3))
+    acc_u = jnp.zeros((h, w, 3))
+
+    mesh = make_mesh(8)
+    img8, aw8, au8, var8, vgt8, mse8, rays8 = guided_post_sharded(
+        scene, mesh, L, px, py, sum_l, sum_l2, acc_w, acc_u,
+        w_w=0.5, w_u=0.25, spp_total=3.0, rays_acc=jnp.zeros(()),
+        rays=jnp.float32(17.0), gt=gt,
+    )
+
+    # single-device reference: the aligned splat + reference-exact metrics
+    img_s, wgt_s = film_mod.splat_filtered_aligned(w, h, px, py, L, rfilter)
+    img1 = film_mod.develop(img_s, wgt_s)
+    var1, vgt1, mse1 = var_mod.metrics_all(sum_l, sum_l2, 3.0, gt)
+    assert np.allclose(np.asarray(img8), np.asarray(img1), atol=1e-5), rfilter
+    assert np.allclose(np.asarray(aw8), np.asarray(img1) * 0.5, atol=1e-5)
+    assert np.allclose(np.asarray(au8), np.asarray(img1) * 0.25, atol=1e-5)
+    assert np.isclose(float(var8), float(var1), rtol=1e-5, atol=1e-8)
+    assert np.isclose(float(vgt8), float(vgt1), rtol=1e-5, atol=1e-8)
+    assert np.isclose(float(mse8), float(mse1), rtol=1e-5, atol=1e-8)
+    assert float(rays8) == 17.0
