@@ -37,8 +37,6 @@ def adaptive_fraction_enabled() -> bool:
     mixture share is scaled by its usable-hemisphere mass. Set
     PPG_ADAPTIVE_FRACTION=0 for the reference's constant 0.5
     (path_guiding_integrator.py:223)."""
-    import os
-
     return knobs.get_bool("PPG_ADAPTIVE_FRACTION")
 
 
@@ -53,7 +51,6 @@ def log_fraction_policy():
     if _policy_logged:
         return
     _policy_logged = True
-    import os
     import sys
 
     if adaptive_fraction_enabled():
@@ -80,8 +77,6 @@ def _mixture_fraction(hemi, vert_cnt, depth, bsdf_fraction):
     (unbiased: every pdf uses the same per-lane fraction)."""
     if not adaptive_fraction_enabled():
         return jnp.full(hemi.shape, bsdf_fraction)
-    import os
-
     policy = knobs.get("PPG_FRAC_POLICY")
     if policy == "trust":  # only trees with >50% usable mass
         share = jnp.maximum(2.0 * hemi - 1.0, 0.0)
@@ -117,8 +112,6 @@ def _init_state(scene, px, py, lane_ids, record: bool):
         "rays_cast": jnp.float32(0.0),
     }
     if record:
-        import os
-
         state["recs"] = PathRecords.zeros(
             n_rays, scene.max_depth,
             slim=not knobs.get_bool("PPG_FULL_RECORDS"),
@@ -511,8 +504,6 @@ def splat_filter_mode() -> str:
     within their kd leaf extent — box filter in expectation; can leak
     energy through thin geometry), 'dir' directional (jitter each
     direction within its quad leaf width — non-leaking)."""
-    import os
-
     return knobs.get("PPG_SPLAT_FILTER")
 
 
