@@ -31,6 +31,14 @@ MAX_BVH_TABLE_BYTES = 8 << 20
 # the leaf list + stack scratch
 MAX_PAIR_TABLE_BYTES = 448 << 10
 
+# the fused closest-hit+attrs kernel holds BOTH the (L*K,16) triangle and
+# (L*K,32) attribute tables in VMEM, and XLA additionally parks several
+# full-wavefront outputs in VMEM around the call: at torus's 31256 tri
+# slots (6.5 MB of tables) the kernel's scoped VMEM reached 30.9 of 16 MB
+# and the compile failed (measured round 5). Scenes above this budget use
+# the plain BVH kernel + the XLA packed-attr-row epilogue instead.
+MAX_ATTR_KERNEL_TABLE_BYTES = 2 << 20
+
 
 def _bvh_fits(scene) -> bool:
     if scene.bvh_n_nodes <= 0:
@@ -48,6 +56,14 @@ def _pair_fits(scene) -> bool:
         and "bvh_pair" in scene.tris
         and scene.tris["bvh_pair"].size * 4 <= MAX_PAIR_TABLE_BYTES
     )
+
+
+def _attr_kernel_fits(scene) -> bool:
+    attrs = scene.tris.get("bvh_attr")
+    if attrs is None:
+        return False
+    total = scene.tris["bvh_tris"].size + attrs.size
+    return total * 4 <= MAX_ATTR_KERNEL_TABLE_BYTES
 
 
 def _use_pallas() -> bool:
@@ -168,7 +184,7 @@ def intersect(scene, o, d, t_near=None, t_far=None, n_live=None) -> Intersection
         and _kernel_choice() == "bvh"
         and _bvh_fits(scene)
         and _pair_fits(scene)
-        and "bvh_attr" in scene.tris
+        and _attr_kernel_fits(scene)
     ):
         # fused kernel: SMEM pair walk + closest hit + shading attributes
         # resolved in-kernel — no per-bounce XLA gather epilogue
