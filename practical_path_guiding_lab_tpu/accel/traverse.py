@@ -34,10 +34,13 @@ MAX_PAIR_TABLE_BYTES = 448 << 10
 # the fused closest-hit+attrs kernel holds BOTH the (L*K,16) triangle and
 # (L*K,32) attribute tables in VMEM, and XLA additionally parks several
 # full-wavefront outputs in VMEM around the call: at torus's 31256 tri
-# slots (6.5 MB of tables) the kernel's scoped VMEM reached 30.9 of 16 MB
-# and the compile failed (measured round 5). Scenes above this budget use
-# the plain BVH kernel + the XLA packed-attr-row epilogue instead.
-MAX_ATTR_KERNEL_TABLE_BYTES = 2 << 20
+# slots (6.5 MB of tables) the kernel's scoped VMEM reached 30.9 of the
+# default 16 MB scoped budget and the compile failed (measured round 5).
+# The kernels now declare a 100 MB vmem_limit (the v5e has 128 MB VMEM),
+# which covers the corpus; this gate still bounds table residency so a
+# future huge scene degrades to the plain kernel + XLA epilogue instead
+# of failing to compile.
+MAX_ATTR_KERNEL_TABLE_BYTES = 24 << 20
 
 
 def _bvh_fits(scene) -> bool:
@@ -156,8 +159,18 @@ def _intersect_spheres(o, d, spheres, t_near, t_far):
         return jnp.full((n,), jnp.inf), jnp.full((n,), -1, jnp.int32)
     oc = o[:, None, :] - c[None, :, :]  # (N,S,3)
     b = jnp.sum(oc * d[:, None, :], axis=-1)
-    cterm = jnp.sum(oc * oc, axis=-1) - (r * r)[None, :]
-    disc = b * b - cterm
+    # ROBUST discriminant: r^2 - |oc - (oc.d)d|^2, NOT b^2 - (|oc|^2-r^2).
+    # The textbook form subtracts two ~|oc|^2-sized numbers; for the tiny
+    # veach-mis emitter (r=0.05 at |oc|~33, r^2/|oc|^2 ~ 2e-6 vs f32 eps
+    # ~6e-8 per op) a different XLA fusion plan flips the sign across a
+    # wide halo — measured on TPU as ~800 false "direct emitter hits" per
+    # 320x180 wavefront painting wall pixels with the emitter radiance
+    # (the CPU fusion happened to round the other way; the component
+    # probe agreed because its standalone jit fused differently). The
+    # perpendicular decomposition squares the ALREADY-SUBTRACTED small
+    # vector, so the error scales with r*eps*|oc| instead of eps*|oc|^2.
+    perp = oc - b[..., None] * d[:, None, :]
+    disc = (r * r)[None, :] - jnp.sum(perp * perp, axis=-1)
     ok = disc > 0.0
     sq = safe_sqrt(disc)
     t0 = -b - sq

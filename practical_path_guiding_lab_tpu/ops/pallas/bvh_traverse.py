@@ -172,6 +172,14 @@ def build_bvh_tables(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray):
 # ===========================================================================
 
 
+# The default scoped-VMEM budget is a 16 MB compiler knob, not the v5e's
+# physical VMEM (128 MB). XLA parks full-wavefront outputs in scoped VMEM
+# around these custom calls on larger scenes (torus: 19-31 MB requested),
+# so the kernels declare a higher ceiling explicitly.
+_KERNEL_VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
+
 def _slab_tile(row, o_x, o_y, o_z, ix, iy, iz, t_near, t_far):
     t0 = (row[0] - o_x) * ix
     t1 = (row[3] - o_x) * ix
@@ -524,6 +532,7 @@ def bvh_any_hit_pair(pair, tris, o, d, t_near, t_far, max_leaves: int,
             # pushed at most once per walk, so n_internal bounds it
             pltpu.SMEM((max(256, pair.size // 16 + POP_W),), jnp.int32),
         ],
+        compiler_params=_KERNEL_VMEM_LIMIT,
         interpret=interpret,
     )(jnp.asarray(n_live, jnp.int32).reshape(1), pair, tris, *planes)
     return out.reshape(-1)[:n]
@@ -600,6 +609,7 @@ def bvh_closest_hit(nodes, tris, o, d, t_near, t_far, n_nodes: int,
             jax.ShapeDtypeStruct((rows_pad, LANE_BLOCK), jnp.float32),
         ],
         scratch_shapes=[pltpu.SMEM((max(max_leaves, 1) + 1,), jnp.int32)],
+        compiler_params=_KERNEL_VMEM_LIMIT,
         interpret=interpret,
     )(jnp.asarray(n_live, jnp.int32).reshape(1), nodes, tris, *planes)
     t, i, u, v = (x.reshape(-1)[:n] for x in out)
@@ -641,6 +651,7 @@ def bvh_closest_hit_attrs(pair, tris, attrs, o, d, t_near, t_far,
             # pushed at most once per walk, so n_internal bounds it
             pltpu.SMEM((max(256, pair.size // 16 + POP_W),), jnp.int32),
         ],
+        compiler_params=_KERNEL_VMEM_LIMIT,
         interpret=interpret,
     )(jnp.asarray(n_live, jnp.int32).reshape(1), pair, tris, attrs, *planes)
     (t, idf, nsx, nsy, nsz, ngx, ngy, ngz, uu, vv, matf, emf) = (
@@ -680,6 +691,7 @@ def bvh_any_hit(nodes, tris, o, d, t_near, t_far, n_nodes: int,
         out_specs=ray_spec,
         out_shape=jax.ShapeDtypeStruct((rows_pad, LANE_BLOCK), jnp.bool_),
         scratch_shapes=[pltpu.SMEM((max(max_leaves, 1) + 1,), jnp.int32)],
+        compiler_params=_KERNEL_VMEM_LIMIT,
         interpret=interpret,
     )(jnp.asarray(n_live, jnp.int32).reshape(1), nodes, tris, *planes)
     return out.reshape(-1)[:n]
